@@ -1,0 +1,488 @@
+"""Banded five-state pair-HMM forward/backward as a JAX anti-diagonal scan.
+
+This is the TPU-native replacement for the reference pipeline's
+``cactus_realign`` banded forward/backward core (invoked per read at
+/root/reference/nanopore/analyses/utils.py:587, with banding flags
+``--diagonalExpansion`` / ``--splitMatrixBiggerThanThis``,
+utils.py:511,587).  One batched kernel serves all four reference call
+sites: realignment, alignment uncertainty, EM training and SNP posterior
+expectation (SURVEY.md section 7).
+
+Design
+------
+The DP lattice over cells (i, j) = (read consumed, ref consumed) is
+restricted to a band of static width W around the guide alignment, and
+swept along anti-diagonals k = i + j (wavefront order) so every diagonal
+depends only on the previous two — no intra-step sequential dependency,
+ideal for a ``lax.scan`` whose per-step state is a (5, W) tile on the VPU.
+
+Band bookkeeping: ``offsets[k]`` = leftmost ref coordinate j of the band
+on diagonal k.  Offsets are built on the host from the guide cigar,
+clipped to the valid lattice region, nondecreasing with steps in {0, 1}
+(Lipschitz-1), and always contain the guide path.  By construction the
+first cell (0,0) and the last cell (m,n) sit at band index 0 of their
+diagonals.
+
+Numerics: scaled probability space (f32) with one running log-scale per
+diagonal — the per-diagonal max is divided out and accumulated in log
+space, mirroring the classic scaled Baum-Welch recursion, avoiding
+per-cell log/exp transcendentals on the VPU.
+
+Semantics are oracle-tested against nanopore_tpu.ops.pairhmm_ref.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from nanopore_tpu.align.model import PairHmmModel, NUM_STATES
+from nanopore_tpu.io.sam import CIG
+
+DEFAULT_BAND_WIDTH = 64
+_PAD_SENTINEL = 4  # N code for out-of-range sequence reads
+
+
+class KernelParams(NamedTuple):
+    """Dense f32 probability tables for the kernel.
+
+    t:            (5, 5) transitions [from, to]
+    e_match_flat: (25,) match emissions [xcode * 5 + ycode] incl. N
+    e_gap_flat:   (25,) per-state single-base emissions [state * 5 + base]
+    """
+
+    t: jax.Array
+    e_match_flat: jax.Array
+    e_gap_flat: jax.Array
+
+
+def make_kernel_params(model: PairHmmModel) -> KernelParams:
+    match = model.match_emissions()
+    e_match = np.zeros((5, 5), dtype=np.float32)
+    e_match[:4, :4] = match
+    e_match[4, :4] = match.mean(axis=0)
+    e_match[:4, 4] = match.mean(axis=1)
+    e_match[4, 4] = match.mean()
+    gap = model.gap_emissions()
+    e_gap = np.zeros((5, 5), dtype=np.float32)
+    e_gap[:, :4] = gap
+    e_gap[:, 4] = gap.mean(axis=1)
+    return KernelParams(
+        t=jnp.asarray(model.transitions, dtype=jnp.float32),
+        e_match_flat=jnp.asarray(e_match.reshape(-1), dtype=jnp.float32),
+        e_gap_flat=jnp.asarray(e_gap.reshape(-1), dtype=jnp.float32),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Host-side band construction
+# --------------------------------------------------------------------- #
+def band_offsets_from_cigar(
+    cigar: list[tuple[int, int]], m: int, n: int, band_width: int,
+    k_max: int | None = None,
+) -> np.ndarray:
+    """Band offsets o[k] for k in [0, k_max] from a guide alignment.
+
+    ``cigar`` is a SAM-op cigar describing a global alignment of the read
+    (length m, consumed by M/I) against the ref window (length n, consumed
+    by M/D), soft/hard clips ignored.  The band on diagonal k covers ref
+    coordinates [o[k], o[k] + W).  This realises the reference's
+    ``--diagonalExpansion`` banding generalised to follow the guide path
+    exactly (utils.py:587) rather than a single straight diagonal.
+    """
+    if k_max is None:
+        k_max = m + n
+    # unit steps of the guide path
+    di, dj = [], []
+    for op, length in cigar:
+        if op in (CIG.M, CIG.EQ, CIG.X):
+            di.append(np.ones(length, np.int64)); dj.append(np.ones(length, np.int64))
+        elif op == CIG.I:
+            di.append(np.ones(length, np.int64)); dj.append(np.zeros(length, np.int64))
+        elif op in (CIG.D, CIG.N):
+            di.append(np.zeros(length, np.int64)); dj.append(np.ones(length, np.int64))
+    if di:
+        i_path = np.concatenate([[0], np.cumsum(np.concatenate(di))])
+        j_path = np.concatenate([[0], np.cumsum(np.concatenate(dj))])
+    else:
+        i_path = np.array([0]); j_path = np.array([0])
+    assert i_path[-1] <= m and j_path[-1] <= n, "guide cigar overruns sequences"
+    k_path = i_path + j_path
+    ks = np.arange(k_max + 1)
+    # center c(k): guide path j at the first vertex with k_path >= k
+    idx = np.searchsorted(k_path, np.minimum(ks, k_path[-1]))
+    center = j_path[idx]
+    lo = np.maximum(0, ks - m)
+    hi = np.maximum(lo, np.minimum(ks, n) - band_width + 1)
+    o = np.clip(center - band_width // 2, lo, hi)
+    # ensure Lipschitz-1 nondecreasing past the end of the real lattice
+    o[ks > m + n] = o[m + n] if m + n <= k_max else o[-1]
+    d = np.diff(o)
+    assert ((d >= 0) & (d <= 1)).all(), "band offsets not Lipschitz-1"
+    return o.astype(np.int32)
+
+
+class BandedBatch(NamedTuple):
+    """Padded per-read arrays for a batch of guide-banded alignments.
+
+    x_pad:   (B, n_pad) int8 ref codes, PAD-shifted with N sentinel
+    yr_pad:  (B, m_pad) int8 REVERSED read codes, PAD-shifted
+    offsets: (B, K+1) int32 band offsets per diagonal
+    m:       (B,) int32 read lengths
+    n:       (B,) int32 ref lengths
+    k_end:   (B,) int32 = m + n
+    band_width: static python int
+    """
+
+    x_pad: jax.Array
+    yr_pad: jax.Array
+    offsets: jax.Array
+    m: jax.Array
+    n: jax.Array
+    k_end: jax.Array
+    band_width: int
+
+    @property
+    def k_max(self) -> int:
+        return self.offsets.shape[1] - 1
+
+
+def prepare_banded_batch(
+    pairs: list[tuple[np.ndarray, np.ndarray, list[tuple[int, int]]]],
+    band_width: int = DEFAULT_BAND_WIDTH,
+    k_max: int | None = None,
+) -> BandedBatch:
+    """Pack (ref_codes, read_codes, guide_cigar) tuples into a BandedBatch."""
+    W = band_width
+    PAD = W + 2
+    ms = np.array([len(y) for _, y, _ in pairs], np.int32)
+    ns = np.array([len(x) for x, _, _ in pairs], np.int32)
+    K = int(k_max if k_max is not None else (ms + ns).max())
+    n_pad_len = int(ns.max()) + 2 * PAD + W
+    m_pad_len = int(ms.max()) + 2 * PAD + W
+    B = len(pairs)
+    x_pad = np.full((B, n_pad_len), _PAD_SENTINEL, np.int8)
+    yr_pad = np.full((B, m_pad_len), _PAD_SENTINEL, np.int8)
+    offsets = np.zeros((B, K + 1), np.int32)
+    for b, (x, y, cig) in enumerate(pairs):
+        x_pad[b, PAD : PAD + len(x)] = x
+        yr_pad[b, PAD : PAD + len(y)] = y[::-1]
+        offsets[b] = band_offsets_from_cigar(cig, len(y), len(x), W, K)
+    return BandedBatch(
+        x_pad=jnp.asarray(x_pad),
+        yr_pad=jnp.asarray(yr_pad),
+        offsets=jnp.asarray(offsets),
+        m=jnp.asarray(ms),
+        n=jnp.asarray(ns),
+        k_end=jnp.asarray(ms + ns),
+        band_width=W,
+    )
+
+
+# --------------------------------------------------------------------- #
+# Kernel helpers
+# --------------------------------------------------------------------- #
+def _shift_band(arr: jax.Array, s: jax.Array) -> jax.Array:
+    """result[..., b] = arr[..., b + s] with zero fill; s a traced int in [-1, 1]."""
+    padded = jnp.pad(arr, [(0, 0)] * (arr.ndim - 1) + [(1, 1)])
+    return lax.dynamic_slice_in_dim(padded, 1 + s, arr.shape[-1], axis=-1)
+
+
+def _band_codes(seq_pad: jax.Array, start: jax.Array, W: int) -> jax.Array:
+    return lax.dynamic_slice_in_dim(seq_pad, start, W).astype(jnp.int32)
+
+
+def _valid_mask(k, o_k, m, n, W):
+    b = lax.broadcasted_iota(jnp.int32, (W,), 0)
+    j = o_k + b
+    i = k - j
+    return ((j >= 0) & (j <= n) & (i >= 0) & (i <= m)).astype(jnp.float32)
+
+
+# --------------------------------------------------------------------- #
+# Forward
+# --------------------------------------------------------------------- #
+def _forward_scan_single(params: KernelParams, batch_elem, store_lattice: bool):
+    """Forward over one read. Returns (loglik, f_hat[K,5,W], lsf[K+1])."""
+    x_pad, yr_pad, offsets, m, n, k_end, W = batch_elem
+    PAD = W + 2
+    K = offsets.shape[0] - 1
+    t = params.t
+
+    start = jnp.full((NUM_STATES, W), 0.0, jnp.float32)
+    start = start.at[:, 0].set(1.0 / NUM_STATES)
+
+    def step(carry, xs):
+        prev, prevprev, ls1, ls2, loglik = carry
+        k, o_k, o_km1, o_km2 = xs
+        d1 = o_k - o_km1
+        d2 = o_k - o_km2 - 1
+
+        x_cur = _band_codes(x_pad, PAD + o_k - 1, W)   # x[j-1]
+        y_cur = _band_codes(yr_pad, PAD + m - k + o_k, W)  # y[i-1]
+
+        e_m = jnp.take(params.e_match_flat, x_cur * 5 + y_cur)
+        e_del = jnp.take(params.e_gap_flat, 1 * 5 + x_cur), jnp.take(
+            params.e_gap_flat, 3 * 5 + x_cur
+        )
+        e_ins = jnp.take(params.e_gap_flat, 2 * 5 + y_cur), jnp.take(
+            params.e_gap_flat, 4 * 5 + y_cur
+        )
+
+        # scales accumulate negative increments, so ls2 >= ls1 and r >= 1
+        r = jnp.exp(jnp.clip(ls2 - ls1, -80.0, 80.0))
+        diag_pred = _shift_band(prevprev, d2) * r
+        left_pred = _shift_band(prev, d1 - 1)
+        up_pred = _shift_band(prev, d1)
+
+        new_m = e_m * jnp.einsum("s,sw->w", t[:, 0], diag_pred)
+        new_d1 = e_del[0] * jnp.einsum("s,sw->w", t[:, 1], left_pred)
+        new_i1 = e_ins[0] * jnp.einsum("s,sw->w", t[:, 2], up_pred)
+        new_d2 = e_del[1] * jnp.einsum("s,sw->w", t[:, 3], left_pred)
+        new_i2 = e_ins[1] * jnp.einsum("s,sw->w", t[:, 4], up_pred)
+        new = jnp.stack([new_m, new_d1, new_i1, new_d2, new_i2])
+        new = new * _valid_mask(k, o_k, m, n, W)[None, :]
+
+        scale = jnp.max(new)
+        safe = jnp.where(scale > 0, scale, 1.0)
+        new = new / safe
+        ls_new = ls1 + jnp.log(safe)
+
+        fin = jnp.sum(new[:, 0])
+        loglik = loglik + jnp.where(
+            k == k_end, jnp.log(jnp.maximum(fin, 1e-37)) + ls_new, 0.0
+        )
+        out = (new, ls_new) if store_lattice else None
+        return (new, prev, ls_new, ls1, loglik), out
+
+    ks = jnp.arange(1, K + 1)
+    o_k = offsets[1:]
+    o_km1 = offsets[:-1]
+    # o[k-2] for k = 1..K  ->  [o[-1]:=0, o[0], ..., o[K-2]]
+    o_km2 = jnp.concatenate([jnp.zeros((1,), jnp.int32), offsets[:-2]])
+    xs = (ks, o_k, o_km1, o_km2)
+    init = (start, jnp.zeros((NUM_STATES, W), jnp.float32), 0.0, 0.0, 0.0)
+    (fin_carry), ys = lax.scan(step, init, xs)
+    loglik = fin_carry[4]
+    if store_lattice:
+        f_hat, lsf = ys
+        # prepend diagonal 0
+        f_all = jnp.concatenate([start[None], f_hat], axis=0)
+        ls_all = jnp.concatenate([jnp.zeros((1,)), lsf], axis=0)
+        return loglik, f_all, ls_all
+    return loglik, None, None
+
+
+@functools.partial(jax.jit, static_argnames=("band_width",))
+def _forward_loglik_jit(params, x_pad, yr_pad, offsets, m, n, k_end, band_width):
+    fn = lambda xe, ye, oe, me, ne, ke: _forward_scan_single(
+        params, (xe, ye, oe, me, ne, ke, band_width), store_lattice=False
+    )[0]
+    return jax.vmap(fn)(x_pad, yr_pad, offsets, m, n, k_end)
+
+
+def forward_loglik(batch: BandedBatch, params: KernelParams) -> jax.Array:
+    """Batched banded forward log-likelihood, shape (B,)."""
+    return _forward_loglik_jit(
+        params, batch.x_pad, batch.yr_pad, batch.offsets,
+        batch.m, batch.n, batch.k_end, batch.band_width,
+    )
+
+
+# --------------------------------------------------------------------- #
+# Forward-backward: posterior bands + EM expectations
+# --------------------------------------------------------------------- #
+def _forward_backward_single(params: KernelParams, batch_elem):
+    """Full fwd/bwd for one read.
+
+    Returns dict with:
+      loglik: scalar
+      gamma_match / gamma_del / gamma_ins: (K+1, W) posterior bands, where
+        entry [k, b] refers to lattice cell (i, j) = (k - j, offsets[k]+b)
+        i.e. aligned pair (readPos i-1, refPos j-1) for gamma_match.
+      trans: (5, 5) expected transition counts
+      emis:  (5, 16) expected emission counts
+    """
+    x_pad, yr_pad, offsets, m, n, k_end, W = batch_elem
+    PAD = W + 2
+    K = offsets.shape[0] - 1
+    t = params.t
+
+    loglik, f_all, lsf_all = _forward_scan_single(
+        params, batch_elem, store_lattice=True
+    )
+
+    # scan k from K down to 0
+    def step(carry, xs):
+        bnext, bnext2, lsb1, lsb2, trans, e16, edel, eins = carry
+        k, o_k, d1n, d2n2, f_hat, lsf = xs
+
+        x_next = _band_codes(x_pad, PAD + o_k, W)       # x[j]
+        y_next = _band_codes(yr_pad, PAD + m - 1 - k + o_k, W)  # y[i]
+        x_cur = _band_codes(x_pad, PAD + o_k - 1, W)    # x[j-1]
+        y_cur = _band_codes(yr_pad, PAD + m - k + o_k, W)   # y[i-1]
+
+        e_m_next = jnp.take(params.e_match_flat, x_next * 5 + y_next)
+        e_d1_next = jnp.take(params.e_gap_flat, 1 * 5 + x_next)
+        e_d2_next = jnp.take(params.e_gap_flat, 3 * 5 + x_next)
+        e_i1_next = jnp.take(params.e_gap_flat, 2 * 5 + y_next)
+        e_i2_next = jnp.take(params.e_gap_flat, 4 * 5 + y_next)
+
+        r = jnp.exp(jnp.clip(lsb2 - lsb1, -80.0, 80.0))
+        # destination values aligned onto current band
+        bM_dest = _shift_band(bnext2[0], -d2n2) * r * e_m_next
+        bD1_dest = _shift_band(bnext[1], 1 - d1n) * e_d1_next
+        bD2_dest = _shift_band(bnext[3], 1 - d1n) * e_d2_next
+        bI1_dest = _shift_band(bnext[2], -d1n) * e_i1_next
+        bI2_dest = _shift_band(bnext[4], -d1n) * e_i2_next
+
+        dest = jnp.stack([bM_dest, bD1_dest, bI1_dest, bD2_dest, bI2_dest])
+        new = jnp.einsum("st,tw->sw", t, dest)
+        new = new * _valid_mask(k, o_k, m, n, W)[None, :]
+
+        # inject the end condition at k == m + n
+        end_band = jnp.zeros((NUM_STATES, W), jnp.float32).at[:, 0].set(1.0)
+        is_end = k == k_end
+        new = jnp.where(is_end, end_band, new)
+
+        scale = jnp.max(new)
+        safe = jnp.where(scale > 0, scale, 1.0)
+        new = new / safe
+        lsb_new = jnp.where(is_end, 0.0, lsb1 + jnp.log(safe))
+
+        # ---- EM transition expectations (moves out of diagonal k) ----
+        # dest[t, b] = e_t(dest cell) * b_t(dest cell) at running scale lsb1
+        # (bnext2 terms folded onto lsb1 via r); f_hat at scale lsf.
+        # E[s, t] += sum_b f_s(b) * T[s, t] * dest[t, b] * exp(lsf+lsb1-L)
+        factor_trans = jnp.exp(jnp.clip(lsf + lsb1 - loglik, -80.0, 80.0))
+        trans = trans + t * jnp.einsum("sw,tw->st", f_hat, dest) * factor_trans
+
+        # ---- posterior occupancy of diagonal k ----
+        g_factor = jnp.exp(jnp.clip(lsf + lsb_new - loglik, -80.0, 80.0))
+        gamma = f_hat * new * g_factor  # (5, W)
+
+        valid_emit = (
+            (x_cur < 4) & (y_cur < 4)
+        )
+        onehot16 = (
+            (x_cur * 4 + y_cur)[:, None]
+            == lax.broadcasted_iota(jnp.int32, (W, 16), 1)
+        ).astype(jnp.float32) * valid_emit[:, None].astype(jnp.float32)
+        e16 = e16 + gamma[0] @ onehot16
+        onehot_x = (
+            x_cur[:, None] == lax.broadcasted_iota(jnp.int32, (W, 4), 1)
+        ).astype(jnp.float32)
+        onehot_y = (
+            y_cur[:, None] == lax.broadcasted_iota(jnp.int32, (W, 4), 1)
+        ).astype(jnp.float32)
+        edel = edel + jnp.stack([gamma[1] @ onehot_x, gamma[3] @ onehot_x])
+        eins = eins + jnp.stack([gamma[2] @ onehot_y, gamma[4] @ onehot_y])
+
+        gamma_match = gamma[0]
+        gamma_del = gamma[1] + gamma[3]
+        gamma_ins = gamma[2] + gamma[4]
+
+        return (
+            (new, bnext, lsb_new, lsb1, trans, e16, edel, eins),
+            (gamma_match, gamma_del, gamma_ins),
+        )
+
+    ks = jnp.arange(K, -1, -1)
+    o_k = offsets[::-1]
+    d1_all = jnp.diff(offsets)  # d1[k] = o[k]-o[k-1], index k-1
+    # d1(k+1) for k = K..0 -> 0 for k=K, else d1_all[k]
+    d1n = jnp.concatenate([jnp.zeros((1,), jnp.int32), d1_all[::-1]])
+    # d2(k+2) = o[k+2]-o[k]-1 for k=K..0 -> 0,0 then o[k+2]-o[k]-1
+    o2 = offsets
+    d2_full = o2[2:] - o2[:-2] - 1  # index k = 0..K-2 meaning d2 at (k+2)? no:
+    # d2_full[k] = o[k+2] - o[k] - 1, which is d2(k+2) evaluated at source k
+    d2n2 = jnp.concatenate(
+        [jnp.zeros((2,), jnp.int32), d2_full[::-1]]
+    )
+    f_rev = f_all[::-1]
+    lsf_rev = lsf_all[::-1]
+    xs = (ks, o_k, d1n, d2n2, f_rev, lsf_rev)
+
+    init = (
+        jnp.zeros((NUM_STATES, W), jnp.float32),
+        jnp.zeros((NUM_STATES, W), jnp.float32),
+        0.0,
+        0.0,
+        jnp.zeros((5, 5), jnp.float32),
+        jnp.zeros((16,), jnp.float32),
+        jnp.zeros((2, 4), jnp.float32),
+        jnp.zeros((2, 4), jnp.float32),
+    )
+    carry, gammas_rev = lax.scan(step, init, xs)
+    _, _, _, _, trans, e16, edel, eins = carry
+
+    gamma_match = gammas_rev[0][::-1]
+    gamma_del = gammas_rev[1][::-1]
+    gamma_ins = gammas_rev[2][::-1]
+
+    emis = jnp.zeros((5, 16), jnp.float32)
+    emis = emis.at[0].set(e16)
+    emis = emis.at[1].set(jnp.repeat(edel[0] / 4.0, 4))
+    emis = emis.at[3].set(jnp.repeat(edel[1] / 4.0, 4))
+    emis = emis.at[2].set(jnp.tile(eins[0] / 4.0, 4))
+    emis = emis.at[4].set(jnp.tile(eins[1] / 4.0, 4))
+
+    return {
+        "loglik": loglik,
+        "gamma_match": gamma_match,
+        "gamma_del": gamma_del,
+        "gamma_ins": gamma_ins,
+        "trans": trans,
+        "emis": emis,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("band_width",))
+def _forward_backward_jit(params, x_pad, yr_pad, offsets, m, n, k_end, band_width):
+    fn = lambda xe, ye, oe, me, ne, ke: _forward_backward_single(
+        params, (xe, ye, oe, me, ne, ke, band_width)
+    )
+    return jax.vmap(fn)(x_pad, yr_pad, offsets, m, n, k_end)
+
+
+def forward_backward(batch: BandedBatch, params: KernelParams) -> dict:
+    """Batched banded forward-backward.
+
+    Returns dict of batched arrays: loglik (B,), gamma_match/del/ins
+    (B, K+1, W), trans (B,5,5), emis (B,5,16).
+    """
+    return _forward_backward_jit(
+        params, batch.x_pad, batch.yr_pad, batch.offsets,
+        batch.m, batch.n, batch.k_end, batch.band_width,
+    )
+
+
+def extract_posterior_pairs(
+    gamma_match: np.ndarray,
+    offsets: np.ndarray,
+    m: int,
+    n: int,
+    threshold: float = 1e-3,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Band -> (readPos, refPos, prob) triples on the host.
+
+    Equivalent of cactus_realign --outputAllPosteriorProbs (reference
+    marginAlignSnpCaller.py:136-146): probabilities that read base i-1
+    aligns to ref base j-1 for lattice cells (i,j).
+    """
+    K1, W = gamma_match.shape
+    ks = np.arange(K1)[:, None]
+    bs = np.arange(W)[None, :]
+    j = offsets[:K1, None] + bs
+    i = ks - j
+    mask = (gamma_match > threshold) & (i >= 1) & (i <= m) & (j >= 1) & (j <= n)
+    return (
+        (i[mask] - 1).astype(np.int64),
+        (j[mask] - 1).astype(np.int64),
+        np.asarray(gamma_match)[mask],
+    )

@@ -8,11 +8,19 @@ exercised on a virtual CPU mesh per the project test strategy
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # keep the axon TPU tunnel out
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The environment's sitecustomize force-registers the remote "axon" TPU
+# backend and pins jax_platforms=axon; undo that for the test session so
+# kernels compile on the local 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import sys
