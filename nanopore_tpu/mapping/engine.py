@@ -1,0 +1,307 @@
+"""The unified seed -> chain -> banded-extend mapping engine.
+
+One engine replaces the reference's four-aligner zoo (bwa mem / lastal /
+lastz / blasr, reference ``nanopore/mappers/*.py``; SURVEY.md section 7):
+host-side k-mer seeding and anchor chaining select candidate (ref window,
+strand) placements, and the banded pair-HMM + MEA decode on device
+produces the base-level alignment — the same kernel that later serves
+realignment and EM, so the mapper inherits a probabilistically calibrated
+extension stage for noisy long reads.
+
+Per-aligner behaviour differences become config presets
+(nanopore_tpu.mapping.presets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from dataclasses import dataclass, field
+
+from nanopore_tpu.align.model import PairHmmModel
+from nanopore_tpu.io.encoding import encode, revcomp_codes, reverse_complement
+from nanopore_tpu.io.sam import SamRecord, SamWriter, CIG
+from nanopore_tpu.io.seqio import fastq_read, read_fasta_dict
+from nanopore_tpu.mapping.index import KmerIndex
+from nanopore_tpu.mapping.chain import merge_hits_to_anchors, chain_anchors, Chain
+from nanopore_tpu.ops.pairhmm import (
+    make_kernel_params,
+    prepare_banded_batch,
+    forward_backward,
+)
+from nanopore_tpu.ops.mea import mea_decode_batch, mea_traceback
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(6, (x - 1).bit_length())
+
+
+@dataclass
+class MapperConfig:
+    """Tunables of the unified engine (presets select these)."""
+
+    k: int = 13
+    max_occ: int = 256
+    min_chain_score: float = 20.0
+    max_chains_per_strand: int = 4
+    secondary_ratio: float = 0.3  # keep secondaries >= ratio * best score
+    best_n: int = 0  # >0: emit at most N records/read (blasr -bestn)
+    band_width: int = 64
+    window_pad: int = 64
+    gap_gamma: float = 0.5
+    match_gamma: float = 0.0
+    batch_size: int = 8
+    max_ref_gap: int = 5000
+    max_diag_drift: int = 500
+
+
+@dataclass
+class _Candidate:
+    name: str
+    strand: int  # 0 fwd, 1 rev
+    contig: int
+    window_start: int  # local coords on contig
+    window_end: int
+    guide: list[tuple[int, int]]
+    read_codes: np.ndarray
+    score: float
+    primary: bool
+
+
+class MappingEngine:
+    def __init__(
+        self,
+        ref_dict: dict[str, str],
+        config: MapperConfig | None = None,
+        model: PairHmmModel | None = None,
+    ):
+        self.config = config or MapperConfig()
+        self.ref_dict = ref_dict
+        self.index = KmerIndex.build(
+            ref_dict, k=self.config.k, max_occ=self.config.max_occ
+        )
+        self.params = make_kernel_params(model or PairHmmModel.default())
+
+    # ------------------------------------------------------------------ #
+    def _candidates_for_read(
+        self, name: str, seq: str
+    ) -> list[_Candidate]:
+        cfg = self.config
+        codes_fwd = encode(seq)
+        codes_rev = revcomp_codes(codes_fwd)
+        m = len(codes_fwd)
+        all_chains: list[tuple[Chain, int]] = []
+        for strand, codes in ((0, codes_fwd), (1, codes_rev)):
+            ref_pos, read_pos = self.index.lookup(codes)
+            anchors = merge_hits_to_anchors(ref_pos, read_pos, self.index.k)
+            chains = chain_anchors(
+                anchors,
+                max_ref_gap=cfg.max_ref_gap,
+                max_diag_drift=cfg.max_diag_drift,
+                min_chain_score=cfg.min_chain_score,
+                max_chains=cfg.max_chains_per_strand,
+            )
+            all_chains.extend((c, strand) for c in chains)
+        if not all_chains:
+            return []
+        all_chains.sort(key=lambda cs: -cs[0].score)
+        best_score = all_chains[0][0].score
+        keep = [
+            (c, s)
+            for c, s in all_chains
+            if c.score >= cfg.secondary_ratio * best_score
+        ]
+        if cfg.best_n > 0:
+            keep = keep[: cfg.best_n]
+
+        out = []
+        for rank, (chain, strand) in enumerate(keep):
+            cidx_arr, local = self.index.global_to_contig(
+                np.array([chain.r_start, chain.r_end - 1])
+            )
+            if cidx_arr[0] != cidx_arr[1]:
+                continue  # chain crossing a contig boundary: drop
+            cidx = int(cidx_arr[0])
+            clen = self.index.contig_length(cidx)
+            r0, r1 = int(local[0]), int(local[1]) + 1
+            codes = codes_rev if strand else codes_fwd
+            ws = max(0, r0 - chain.q_start - cfg.window_pad)
+            we = min(clen, r1 + (m - chain.q_end) + cfg.window_pad)
+            guide = self._guide_from_chain(chain, ws, m, we - ws)
+            out.append(
+                _Candidate(
+                    name=name,
+                    strand=strand,
+                    contig=cidx,
+                    window_start=ws,
+                    window_end=we,
+                    guide=guide,
+                    read_codes=codes,
+                    score=chain.score,
+                    primary=rank == 0,
+                )
+            )
+        return out
+
+    def _guide_from_chain(
+        self, chain: Chain, window_start: int, m: int, n: int
+    ) -> list[tuple[int, int]]:
+        """Monotone global guide cigar through the chain's anchor points."""
+        offset = int(
+            self.index.contig_offsets[
+                self.index.global_to_contig(np.array([chain.r_start]))[0][0]
+            ]
+        )
+        pts = [(0, 0)]
+        for a in chain.anchors:
+            q0, j0 = a.q_start, a.r_start - offset - window_start
+            q1, j1 = a.q_end, a.r_end - offset - window_start
+            if q0 > pts[-1][0] and j0 > pts[-1][1]:
+                pts.append((q0, j0))
+            if q1 > pts[-1][0] and j1 > pts[-1][1]:
+                pts.append((q1, j1))
+        if pts[-1] != (m, n):
+            pts.append((m, n))
+        cigar: list[tuple[int, int]] = []
+        for (i0, j0), (i1, j1) in zip(pts, pts[1:]):
+            di, dj = i1 - i0, j1 - j0
+            assert di >= 0 and dj >= 0
+            d = min(di, dj)
+            if d:
+                cigar.append((CIG.M, d))
+            if di > d:
+                cigar.append((CIG.I, di - d))
+            if dj > d:
+                cigar.append((CIG.D, dj - d))
+        return cigar
+
+    # ------------------------------------------------------------------ #
+    def _align_candidates(
+        self, cands: list[_Candidate], quals: dict[str, str]
+    ) -> list[SamRecord]:
+        """Batch candidates through the banded kernel, build SAM records."""
+        cfg = self.config
+        # bucket by padded problem size to bound recompilation
+        buckets: dict[tuple[int, int], list[_Candidate]] = {}
+        for c in cands:
+            n = c.window_end - c.window_start
+            m = len(c.read_codes)
+            key = (_next_pow2(n), _next_pow2(m))
+            buckets.setdefault(key, []).append(c)
+
+        records = []
+        for (n_pad, m_pad), group in buckets.items():
+            for i in range(0, len(group), cfg.batch_size):
+                sub = group[i : i + cfg.batch_size]
+                records.extend(self._align_batch(sub, n_pad, m_pad, quals))
+        return records
+
+    def _align_batch(self, sub, n_pad, m_pad, quals) -> list[SamRecord]:
+        cfg = self.config
+        pairs = []
+        for c in sub:
+            x = self.index.contig_codes(c.contig)[
+                c.window_start : c.window_end
+            ]
+            pairs.append((x, c.read_codes, c.guide))
+        batch = prepare_banded_batch(
+            pairs,
+            band_width=cfg.band_width,
+            k_max=n_pad + m_pad,
+            n_pad_to=n_pad,
+            m_pad_to=m_pad,
+        )
+        fb = forward_backward(batch, self.params)
+        dirs, _scores = mea_decode_batch(
+            fb, batch.offsets, batch.m, batch.n, cfg.band_width,
+            cfg.gap_gamma, cfg.match_gamma,
+        )
+        dirs = np.asarray(dirs)
+        offsets = np.asarray(batch.offsets)
+        out = []
+        for b, c in enumerate(sub):
+            m = len(c.read_codes)
+            n = c.window_end - c.window_start
+            cigar = mea_traceback(dirs[b], offsets[b], m, n)
+            rec = self._record_from_window_cigar(c, cigar, quals)
+            if rec is not None:
+                out.append(rec)
+        return out
+
+    def _record_from_window_cigar(
+        self, c: _Candidate, cigar: list[tuple[int, int]], quals
+    ) -> SamRecord | None:
+        """Trim the global-in-window cigar to a local SAM record."""
+        pos = c.window_start
+        # leading: D advances pos, I becomes soft clip
+        lead_clip = 0
+        while cigar and cigar[0][0] in (CIG.D, CIG.I):
+            op, length = cigar.pop(0)
+            if op == CIG.D:
+                pos += length
+            else:
+                lead_clip += length
+        tail_clip = 0
+        while cigar and cigar[-1][0] in (CIG.D, CIG.I):
+            op, length = cigar.pop()
+            if op == CIG.I:
+                tail_clip += length
+        if not cigar:
+            return None
+        full = []
+        if lead_clip:
+            full.append((CIG.S, lead_clip))
+        full.extend(cigar)
+        if tail_clip:
+            full.append((CIG.S, tail_clip))
+
+        from nanopore_tpu.io.encoding import decode
+
+        seq = decode(c.read_codes)
+        qual = quals.get(c.name, "*")
+        if c.strand and qual != "*":
+            qual = qual[::-1]
+        flag = 0x10 if c.strand else 0
+        if not c.primary:
+            flag |= 0x100
+        return SamRecord(
+            qname=c.name,
+            flag=flag,
+            rname=self.index.contig_names[c.contig],
+            pos=pos,
+            mapq=60 if c.primary else 0,
+            cigar=full,
+            seq=seq,
+            qual=qual,
+            tags=[("AS", "i", int(c.score))],
+        )
+
+    # ------------------------------------------------------------------ #
+    def map_read(self, name: str, seq: str, qual: str = "*") -> list[SamRecord]:
+        cands = self._candidates_for_read(name, seq)
+        return self._align_candidates(cands, {name: qual})
+
+    def map_fastq(self, fastq_path: str, output_sam_path: str) -> int:
+        """Map a FASTQ file to SAM.  Returns the number of records written.
+
+        Mirrors one ``mapper.run()`` of the reference (e.g.
+        mappers/last.py:24-26): reads in, ``mapping.sam`` out, with @SQ
+        lines for every reference contig.
+        """
+        cands: list[_Candidate] = []
+        quals: dict[str, str] = {}
+        for header, seq, qvals in fastq_read(fastq_path):
+            name = header.split()[0]
+            qual = (
+                "".join(chr(q + 33) for q in qvals) if qvals is not None else "*"
+            )
+            quals[name] = qual
+            cands.extend(self._candidates_for_read(name, seq))
+        records = self._align_candidates(cands, quals)
+        records.sort(key=SamRecord.sort_key)
+        ref_lengths = {
+            name: len(seq) for name, seq in self.ref_dict.items()
+        }
+        with SamWriter(output_sam_path, ref_lengths) as writer:
+            for rec in records:
+                writer.write(rec)
+        return len(records)

@@ -156,15 +156,21 @@ def prepare_banded_batch(
     pairs: list[tuple[np.ndarray, np.ndarray, list[tuple[int, int]]]],
     band_width: int = DEFAULT_BAND_WIDTH,
     k_max: int | None = None,
+    n_pad_to: int | None = None,
+    m_pad_to: int | None = None,
 ) -> BandedBatch:
-    """Pack (ref_codes, read_codes, guide_cigar) tuples into a BandedBatch."""
+    """Pack (ref_codes, read_codes, guide_cigar) tuples into a BandedBatch.
+
+    ``k_max`` / ``n_pad_to`` / ``m_pad_to`` let callers bucket shapes
+    (e.g. to powers of two) so jit caches stay small.
+    """
     W = band_width
     PAD = W + 2
     ms = np.array([len(y) for _, y, _ in pairs], np.int32)
     ns = np.array([len(x) for x, _, _ in pairs], np.int32)
     K = int(k_max if k_max is not None else (ms + ns).max())
-    n_pad_len = int(ns.max()) + 2 * PAD + W
-    m_pad_len = int(ms.max()) + 2 * PAD + W
+    n_pad_len = int(n_pad_to if n_pad_to else ns.max()) + 2 * PAD + W
+    m_pad_len = int(m_pad_to if m_pad_to else ms.max()) + 2 * PAD + W
     B = len(pairs)
     x_pad = np.full((B, n_pad_len), _PAD_SENTINEL, np.int8)
     yr_pad = np.full((B, m_pad_len), _PAD_SENTINEL, np.int8)
