@@ -1,0 +1,127 @@
+"""Batched realignment: chain, then MEA-redecode every global alignment.
+
+Replaces the reference's realignment fan-out
+(/root/reference/nanopore/analyses/utils.py:540-609): where the reference
+chains the SAM, then forks one OS process per record piping an exonerate
+cigar through ``cactus_realign --diagonalExpansion=10
+--splitMatrixBiggerThanThis=3000 --gapGamma --matchGamma`` (utils.py:587)
+and splices the results back in order, we chain, batch all records
+through the banded pair-HMM forward/backward + MEA decode on device, and
+rewrite cigars in order — no process fan-out, no temp-file relay.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+
+from nanopore_tpu.align.chain_sam import chain_sam_file
+from nanopore_tpu.align.model import PairHmmModel
+from nanopore_tpu.io.encoding import encode
+from nanopore_tpu.io.sam import SamReader, SamWriter, SamRecord
+from nanopore_tpu.io.seqio import read_fasta_dict
+from nanopore_tpu.ops.pairhmm import (
+    make_kernel_params,
+    prepare_banded_batch,
+    forward_backward,
+)
+from nanopore_tpu.ops.mea import mea_decode_batch, mea_traceback, rescore_by_posterior
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(6, (x - 1).bit_length())
+
+
+def realign_records(
+    records: list[SamRecord],
+    ref_seqs: dict[str, str],
+    model: PairHmmModel | None = None,
+    gap_gamma: float = 0.5,
+    match_gamma: float = 0.0,
+    band_width: int = 64,
+    batch_size: int = 4,
+    rescore: bool = False,
+) -> list[float]:
+    """Redecode the cigars of chained global records in place.
+
+    Records must satisfy the global-alignment invariant (pos == 0, cigar
+    spans the whole reference and read — utils.py:491-501).  Returns the
+    per-record average posterior match probability of the NEW alignment
+    when ``rescore`` (the --rescoreByPosteriorProbIgnoringGaps analogue),
+    else an empty list.
+    """
+    params = make_kernel_params(model or PairHmmModel.default())
+    scores: list[float] = [float("nan")] * len(records)
+
+    # bucket by padded shapes to bound recompiles
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for idx, rec in enumerate(records):
+        n = len(ref_seqs[rec.rname])
+        m = len(rec.seq)
+        buckets.setdefault((_next_pow2(n), _next_pow2(m)), []).append(idx)
+
+    for (n_pad, m_pad), idxs in buckets.items():
+        for s in range(0, len(idxs), batch_size):
+            sub = idxs[s : s + batch_size]
+            pairs = []
+            for idx in sub:
+                rec = records[idx]
+                x = encode(ref_seqs[rec.rname])
+                y = encode(rec.seq)
+                assert rec.pos == 0, "realign requires chained global records"
+                pairs.append((x, y, rec.cigar))
+            batch = prepare_banded_batch(
+                pairs,
+                band_width=band_width,
+                k_max=n_pad + m_pad,
+                n_pad_to=n_pad,
+                m_pad_to=m_pad,
+            )
+            fb = forward_backward(batch, params)
+            dirs, _ = mea_decode_batch(
+                fb, batch.offsets, batch.m, batch.n, band_width,
+                gap_gamma, match_gamma,
+            )
+            dirs_np = np.asarray(dirs)
+            offs_np = np.asarray(batch.offsets)
+            gm_np = np.asarray(fb["gamma_match"]) if rescore else None
+            for b, idx in enumerate(sub):
+                rec = records[idx]
+                m = len(rec.seq)
+                n = len(ref_seqs[rec.rname])
+                new_cigar = mea_traceback(dirs_np[b], offs_np[b], m, n)
+                rec.cigar = new_cigar
+                if rescore:
+                    scores[idx] = rescore_by_posterior(
+                        gm_np[b], offs_np[b], new_cigar
+                    )
+    return scores if rescore else []
+
+
+def realign_sam_file(
+    sam_path: str,
+    output_sam_path: str,
+    read_fastq_path: str,
+    reference_fasta_path: str,
+    gap_gamma: float = 0.5,
+    match_gamma: float = 0.0,
+    hmm_model: PairHmmModel | None = None,
+    band_width: int = 64,
+    batch_size: int = 4,
+) -> None:
+    """Chain then realign a SAM file (realignSamFileTargetFn semantics)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        chained = os.path.join(tmp, "chained.sam")
+        chain_sam_file(sam_path, chained, read_fastq_path, reference_fasta_path)
+        reader = SamReader(chained)
+        records = list(reader.mapped())
+        ref_seqs = read_fasta_dict(reference_fasta_path)
+        realign_records(
+            records, ref_seqs, hmm_model, gap_gamma, match_gamma,
+            band_width, batch_size,
+        )
+        with SamWriter(output_sam_path, template=reader) as writer:
+            for rec in records:
+                writer.write(rec)

@@ -1,0 +1,176 @@
+"""Tests for batched realignment and Baum-Welch EM."""
+
+import numpy as np
+import pytest
+
+from nanopore_tpu.align.model import PairHmmModel
+from nanopore_tpu.align.realign import realign_records, realign_sam_file
+from nanopore_tpu.align.em import em_train, learn_model_from_sam_file, EmOptions
+from nanopore_tpu.io.encoding import encode, decode
+from nanopore_tpu.io.sam import SamRecord, SamWriter, SamReader, CIG
+from nanopore_tpu.io.seqio import fasta_write, fastq_write
+
+
+def simulate_alignment(rng, n=300, sub=0.08, ins=0.04, dele=0.04):
+    """(ref, read, true cigar) with a noisy read generated from ref."""
+    ref = rng.integers(0, 4, n).astype(np.int8)
+    read, ops = [], []
+    for b in ref:
+        r = rng.random()
+        if r < dele:
+            ops.append((CIG.D, 1))
+            continue
+        if r < dele + ins:
+            read.append(rng.integers(0, 4))
+            ops.append((CIG.I, 1))
+        read.append(b if rng.random() > sub else rng.integers(0, 4))
+        ops.append((CIG.M, 1))
+    merged = []
+    for op, l in ops:
+        if merged and merged[-1][0] == op:
+            merged[-1] = (op, merged[-1][1] + l)
+        else:
+            merged.append([op, l])
+    return ref, np.array(read, np.int8), [tuple(x) for x in merged]
+
+
+def crude_guide(m, n):
+    d = min(m, n)
+    g = [(CIG.M, d)]
+    if m > d:
+        g.append((CIG.I, m - d))
+    if n > d:
+        g.append((CIG.D, n - d))
+    return g
+
+
+def cigar_matches(cigar, ref, read):
+    """Count exact base matches under a cigar."""
+    i = j = matches = 0
+    for op, l in cigar:
+        if op == CIG.M:
+            matches += int((read[i : i + l] == ref[j : j + l]).sum())
+            i += l
+            j += l
+        elif op == CIG.I:
+            i += l
+        else:
+            j += l
+    return matches
+
+
+class TestRealign:
+    def test_realign_improves_crude_guide(self):
+        rng = np.random.default_rng(0)
+        ref, read, true_cigar = simulate_alignment(rng)
+        m, n = len(read), len(ref)
+        rec = SamRecord(
+            qname="r1", flag=0, rname="ref", pos=0,
+            cigar=crude_guide(m, n), seq=decode(read),
+        )
+        before = cigar_matches(rec.cigar, ref, read)
+        realign_records([rec], {"ref": decode(ref)}, band_width=64)
+        after = cigar_matches(rec.cigar, ref, read)
+        truth = cigar_matches(true_cigar, ref, read)
+        # global invariants preserved
+        assert sum(l for op, l in rec.cigar if op in (CIG.M, CIG.D)) == n
+        assert sum(l for op, l in rec.cigar if op in (CIG.M, CIG.I)) == m
+        assert after > before
+        assert after >= 0.95 * truth
+
+    def test_realign_rescore(self):
+        rng = np.random.default_rng(1)
+        ref, read, _ = simulate_alignment(rng, n=150)
+        rec = SamRecord(
+            qname="r1", flag=0, rname="ref", pos=0,
+            cigar=crude_guide(len(read), len(ref)), seq=decode(read),
+        )
+        scores = realign_records(
+            [rec], {"ref": decode(ref)}, rescore=True, band_width=64
+        )
+        assert len(scores) == 1
+        assert 0.2 < scores[0] <= 1.0
+
+    def test_realign_sam_file_end_to_end(self, tmp_path):
+        rng = np.random.default_rng(2)
+        ref, read, _ = simulate_alignment(rng, n=200)
+        fa = str(tmp_path / "ref.fa")
+        fq = str(tmp_path / "r.fq")
+        fasta_write(fa, "ref", decode(ref))
+        with open(fq, "w") as fh:
+            fastq_write(fh, "r1", decode(read), None)
+        sam_in = str(tmp_path / "in.sam")
+        # a local alignment covering most of the read (as a mapper emits)
+        with SamWriter(sam_in, {"ref": len(ref)}) as w:
+            w.write(
+                SamRecord(
+                    qname="r1", flag=0, rname="ref", pos=0,
+                    cigar=crude_guide(len(read), len(ref)), seq=decode(read),
+                )
+            )
+        sam_out = str(tmp_path / "out.sam")
+        realign_sam_file(sam_in, sam_out, fq, fa)
+        [rec] = list(SamReader(sam_out).mapped())
+        assert rec.pos == 0
+        assert sum(l for op, l in rec.cigar if op in (CIG.M, CIG.D)) == len(ref)
+        assert sum(l for op, l in rec.cigar if op in (CIG.M, CIG.I)) == len(read)
+
+
+class TestEm:
+    def make_pairs(self, rng, n_pairs=3, n=120):
+        pairs = []
+        for _ in range(n_pairs):
+            ref, read, cigar = simulate_alignment(rng, n=n)
+            pairs.append((ref, read, cigar))
+        return pairs
+
+    def test_likelihood_increases(self):
+        rng = np.random.default_rng(3)
+        pairs = self.make_pairs(rng)
+        opts = EmOptions(trials=1, iterations=8, band_width=48, seed=7)
+        result = em_train(pairs, opts)
+        trace = result.running_likelihoods[0]
+        assert len(trace) >= 3
+        # Baum-Welch monotonicity (small f32 slack)
+        diffs = np.diff(trace)
+        assert (diffs > -abs(np.array(trace[:-1])) * 1e-4).all()
+        assert trace[-1] > trace[0]
+
+    def test_learns_match_structure(self):
+        """EM on high-identity data drives match emissions diagonal-heavy."""
+        rng = np.random.default_rng(4)
+        pairs = self.make_pairs(rng, n_pairs=4, n=150)
+        opts = EmOptions(trials=2, iterations=12, band_width=48, seed=1)
+        result = em_train(pairs, opts)
+        e0 = result.model.emissions[0].reshape(4, 4)
+        diag_mass = np.trace(e0) / e0.sum()
+        assert diag_mass > 0.6  # data has ~92% identity on aligned pairs
+
+    def test_learn_model_from_sam_file(self, tmp_path):
+        rng = np.random.default_rng(5)
+        ref, read, cigar = simulate_alignment(rng, n=150)
+        fa = str(tmp_path / "ref.fa")
+        fasta_write(fa, "ref", decode(ref))
+        sam = str(tmp_path / "chained.sam")
+        with SamWriter(sam, {"ref": len(ref)}) as w:
+            w.write(
+                SamRecord(
+                    qname="r1", flag=0, rname="ref", pos=0,
+                    cigar=cigar, seq=decode(read),
+                )
+            )
+        out = str(tmp_path / "hmm.txt")
+        opts = EmOptions(trials=2, iterations=4, band_width=48)
+        final = learn_model_from_sam_file(sam, fa, out, opts)
+        # on-disk formats load back
+        m2 = PairHmmModel.load(out)
+        np.testing.assert_allclose(m2.emissions[1:], 1.0 / 16.0)  # flat indels
+        rows = m2.emissions[0].reshape(4, 4).sum(axis=1)
+        np.testing.assert_allclose(rows, 0.25, atol=1e-9)  # GC 0.5 rows
+        mu = PairHmmModel.load(out + "_unnormalised")
+        assert mu.likelihood == final.likelihood
+        import xml.etree.ElementTree as ET
+
+        root = ET.parse(out + ".xml").getroot()
+        assert len(root.findall("transition")) == 25
+        assert len(root.findall("hmm")) == 2  # one per trial
