@@ -1,0 +1,179 @@
+"""Command-line interface.
+
+``python -m nanopore_tpu.cli run <workingDir>`` is the equivalent of the
+reference's ``make run`` / ``pipeline.sh <workingDir> ...``
+(/root/reference/Makefile:8-12, nanopore/pipeline.sh:9), with the
+code-as-config mapper/analysis lists (reference pipeline.py:45-95)
+surfaced as flags.  Additional subcommands expose the building blocks
+(map / chain / realign / em) directly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def _setup_logging(level: str) -> None:
+    logging.basicConfig(
+        level=getattr(logging, level.upper()),
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
+
+
+def cmd_run(args) -> int:
+    from nanopore_tpu.pipeline import run_pipeline, PipelineConfig
+    from nanopore_tpu.align.em import EmOptions
+
+    config = PipelineConfig()
+    if args.mappers:
+        config.mappers = args.mappers.split(",")
+    if args.analyses:
+        config.analyses = args.analyses.split(",")
+    if args.meta_analyses is not None:
+        config.meta_analyses = (
+            args.meta_analyses.split(",") if args.meta_analyses else []
+        )
+    config.max_workers = args.max_threads
+    config.em_options = EmOptions(
+        trials=args.em_trials, iterations=args.em_iterations
+    )
+    config.mutate_references = args.mutate_references
+    config.sample_reads = args.sample_reads
+    out = run_pipeline(args.working_dir, config)
+    print("pipeline complete: %s" % out)
+    return 0
+
+
+def cmd_map(args) -> int:
+    from nanopore_tpu.mapping.runner import run_mapper
+
+    run_mapper(
+        args.mapper, args.reads, "reads", args.reference, args.output,
+        args.hmm_out,
+    )
+    print("wrote %s" % args.output)
+    return 0
+
+
+def cmd_chain(args) -> int:
+    from nanopore_tpu.align.chain_sam import chain_sam_file
+
+    chain_sam_file(args.input, args.output, args.reads, args.reference)
+    print("wrote %s" % args.output)
+    return 0
+
+
+def cmd_realign(args) -> int:
+    from nanopore_tpu.align.realign import realign_sam_file
+    from nanopore_tpu.align.model import PairHmmModel
+
+    model = PairHmmModel.load(args.hmm) if args.hmm else None
+    realign_sam_file(
+        args.input, args.output, args.reads, args.reference,
+        gap_gamma=args.gap_gamma, match_gamma=args.match_gamma,
+        hmm_model=model,
+    )
+    print("wrote %s" % args.output)
+    return 0
+
+
+def cmd_em(args) -> int:
+    from nanopore_tpu.align.em import learn_model_from_sam_file, EmOptions
+
+    learn_model_from_sam_file(
+        args.input, args.reference, args.output,
+        EmOptions(trials=args.trials, iterations=args.iterations),
+    )
+    print("wrote %s (+ _unnormalised, .xml)" % args.output)
+    return 0
+
+
+def cmd_modify_hmm(args) -> int:
+    """scripts/modifyHmm.py equivalent (reference scripts/modifyHmm.py)."""
+    from nanopore_tpu.align.model import PairHmmModel
+
+    model = PairHmmModel.load(args.input)
+    if args.flatten_indels:
+        model.set_indel_emissions_flat()
+    model.normalise_by_reference_gc_content(args.gc_content)
+    if args.substitution_rate > 0:
+        model.modify_emissions_by_expected_variation_rate(
+            args.substitution_rate
+        )
+    model.write(args.output)
+    print("wrote %s" % args.output)
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="nanopore_tpu",
+        description="TPU-native nanopore mapping and analysis engine",
+    )
+    parser.add_argument("--log-level", default="INFO")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("run", help="run the full pipeline on a working dir")
+    p.add_argument("working_dir")
+    p.add_argument("--mappers", default="", help="comma-separated mapper names")
+    p.add_argument("--analyses", default="", help="comma-separated analyses")
+    p.add_argument("--meta-analyses", default=None)
+    p.add_argument("--max-threads", type=int, default=4)
+    p.add_argument("--em-trials", type=int, default=3)
+    p.add_argument("--em-iterations", type=int, default=100)
+    p.add_argument("--mutate-references", action="store_true")
+    p.add_argument("--sample-reads", action="store_true")
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("map", help="map a FASTQ against a reference")
+    p.add_argument("reads")
+    p.add_argument("reference")
+    p.add_argument("output")
+    p.add_argument("--mapper", default="LastParams")
+    p.add_argument("--hmm-out", default=None)
+    p.set_defaults(fn=cmd_map)
+
+    p = sub.add_parser("chain", help="chain a SAM into global alignments")
+    p.add_argument("input")
+    p.add_argument("reads")
+    p.add_argument("reference")
+    p.add_argument("output")
+    p.set_defaults(fn=cmd_chain)
+
+    p = sub.add_parser("realign", help="chain + MEA-realign a SAM")
+    p.add_argument("input")
+    p.add_argument("reads")
+    p.add_argument("reference")
+    p.add_argument("output")
+    p.add_argument("--hmm", default=None)
+    p.add_argument("--gap-gamma", type=float, default=0.5)
+    p.add_argument("--match-gamma", type=float, default=0.0)
+    p.set_defaults(fn=cmd_realign)
+
+    p = sub.add_parser("em", help="Baum-Welch train an HMM on a chained SAM")
+    p.add_argument("input")
+    p.add_argument("reference")
+    p.add_argument("output")
+    p.add_argument("--trials", type=int, default=3)
+    p.add_argument("--iterations", type=int, default=100)
+    p.set_defaults(fn=cmd_em)
+
+    p = sub.add_parser(
+        "modify-hmm", help="renormalise an HMM (scripts/modifyHmm.py)"
+    )
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--gc-content", type=float, default=0.5)
+    p.add_argument("--substitution-rate", type=float, default=0.0)
+    p.add_argument("--flatten-indels", action="store_true")
+    p.set_defaults(fn=cmd_modify_hmm)
+
+    args = parser.parse_args(argv)
+    _setup_logging(args.log_level)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

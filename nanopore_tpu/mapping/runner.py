@@ -1,0 +1,135 @@
+"""Mapper execution: run a MapperSpec end to end (map + post-process).
+
+The equivalent of one concrete reference mapper class's ``run()``
+(e.g. LastParamsRealignEm at mappers/last_params.py:20-23): map the
+FASTQ, then optionally chain / realign / EM-train, writing
+``mapping.sam`` (and ``hmm.txt`` when training).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import tempfile
+
+from nanopore_tpu.align.chain_sam import chain_sam_file, combine_sam_files
+from nanopore_tpu.align.em import EmOptions, learn_model_from_sam_file
+from nanopore_tpu.align.model import PairHmmModel
+from nanopore_tpu.align.realign import realign_sam_file
+from nanopore_tpu.io.seqio import read_fasta_dict
+from nanopore_tpu.mapping.engine import MappingEngine
+from nanopore_tpu.mapping.presets import (
+    MapperSpec,
+    MAPPER_REGISTRY,
+    COMBINED_MEMBERS,
+)
+
+logger = logging.getLogger("nanopore_tpu")
+
+_ENGINE_CACHE: dict[tuple, MappingEngine] = {}
+
+
+def _engine_for(reference_fasta_file: str, spec: MapperSpec) -> MappingEngine:
+    key = (
+        os.path.abspath(reference_fasta_file),
+        spec.config.k,
+        spec.config.max_occ,
+    )
+    if key not in _ENGINE_CACHE:
+        ref = read_fasta_dict(reference_fasta_file)
+        _ENGINE_CACHE[key] = MappingEngine(ref, spec.config)
+    engine = _ENGINE_CACHE[key]
+    # chaining thresholds can differ between specs sharing an index
+    engine.config = spec.config
+    return engine
+
+
+def trained_model_path(name: str) -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "models",
+        name,
+    )
+
+
+def run_mapper(
+    spec: MapperSpec | str,
+    read_fastq_file: str,
+    read_type: str,
+    reference_fasta_file: str,
+    output_sam_file: str,
+    hmm_file_to_train: str | None = None,
+    em_options: EmOptions | None = None,
+) -> None:
+    if isinstance(spec, str):
+        spec = MAPPER_REGISTRY[spec]
+
+    # --- map ----------------------------------------------------------- #
+    if spec.combined:
+        # run all four tuned presets, concatenate (combinedMapper.py:12-23)
+        with tempfile.TemporaryDirectory() as tmp:
+            member_sams = []
+            for member in COMBINED_MEMBERS:
+                member_spec = MAPPER_REGISTRY[member]
+                sam = os.path.join(tmp, "mapping_%s.sam" % member)
+                engine = _engine_for(reference_fasta_file, member_spec)
+                engine.map_fastq(read_fastq_file, sam)
+                member_sams.append(sam)
+            combine_sam_files(
+                member_sams[0], member_sams[1:], output_sam_file
+            )
+    else:
+        engine = _engine_for(reference_fasta_file, spec)
+        n = engine.map_fastq(read_fastq_file, output_sam_file)
+        logger.info("%s: %d alignments -> %s", spec.name, n, output_sam_file)
+
+    # --- post-process --------------------------------------------------- #
+    if spec.post == "chain":
+        _inplace_chain(spec, read_fastq_file, reference_fasta_file,
+                       output_sam_file)
+    elif spec.post in ("realign", "realign_em", "realign_trained"):
+        model = None
+        if spec.post == "realign_trained":
+            model = PairHmmModel.load(trained_model_path(spec.trained_model))
+        elif spec.post == "realign_em":
+            assert hmm_file_to_train, "realign_em needs an hmm output path"
+            # chain first, then train on the chained alignments
+            # (realignSamFileTargetFn, utils.py:540-555)
+            with tempfile.TemporaryDirectory() as tmp:
+                chained = os.path.join(tmp, "chained.sam")
+                chain_sam_file(
+                    output_sam_file, chained, read_fastq_file,
+                    reference_fasta_file,
+                )
+                model = learn_model_from_sam_file(
+                    chained, reference_fasta_file, hmm_file_to_train,
+                    em_options,
+                )
+        _inplace_realign(
+            spec, read_fastq_file, reference_fasta_file, output_sam_file,
+            model,
+        )
+
+
+def _inplace_chain(spec, read_fastq_file, reference_fasta_file, sam_path):
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "temp.sam")
+        os.replace(sam_path, src)
+        chain_sam_file(src, sam_path, read_fastq_file, reference_fasta_file)
+
+
+def _inplace_realign(
+    spec, read_fastq_file, reference_fasta_file, sam_path, model
+):
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "temp.sam")
+        os.replace(sam_path, src)
+        realign_sam_file(
+            src,
+            sam_path,
+            read_fastq_file,
+            reference_fasta_file,
+            gap_gamma=spec.gap_gamma,
+            match_gamma=spec.match_gamma,
+            hmm_model=model,
+        )
