@@ -1,0 +1,105 @@
+"""Headline benchmark: banded pair-HMM realignment throughput on TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload: the hottest loop of the reference system (SURVEY.md section 3)
+— banded five-state pair-HMM forward/backward + MEA decode over noisy
+10 kb nanopore-like reads (band width 64), i.e. one full
+``cactus_realign`` equivalent per read.  The metric is banded DP cells
+per second (cells = lattice diagonals x band width, the same work unit
+the C implementation performs per read).
+
+Baseline: cactus_realign's CPU core processes roughly 2e7 banded DP
+cells/s/core (C implementation, single core, forward+backward+MEA — the
+reference publishes no numbers, BASELINE.md, so this is the measured
+order of magnitude for banded pair-HMM C code on one modern core).
+``vs_baseline`` = our cells/s over that single-core figure.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+
+    from nanopore_tpu.align.model import PairHmmModel
+    from nanopore_tpu.io.sam import CIG
+    from nanopore_tpu.ops.pairhmm import (
+        make_kernel_params,
+        prepare_banded_batch,
+        forward_backward,
+    )
+    from nanopore_tpu.ops.mea import mea_decode_batch
+
+    BASELINE_CELLS_PER_SEC = 2.0e7  # single-core C cactus_realign estimate
+
+    B, L, W = 32, 10_000, 64
+    rng = np.random.default_rng(0)
+    model = PairHmmModel.load("nanopore_tpu/models/blasr_hmm_0.txt")
+    params = make_kernel_params(model)
+
+    def noisy_pair(n):
+        x = rng.integers(0, 4, n).astype(np.int8)
+        # ~85% identity read simulated from the ref
+        keep = rng.random(n) > 0.05
+        y = x[keep]
+        sub = rng.random(len(y)) < 0.1
+        y = np.where(sub, rng.integers(0, 4, len(y)), y).astype(np.int8)
+        d = min(len(y), n)
+        guide = [(CIG.M, d)]
+        if n > d:
+            guide.append((CIG.D, n - d))
+        return x, y, guide
+
+    batch = prepare_banded_batch(
+        [noisy_pair(L) for _ in range(B)], band_width=W
+    )
+
+    def run_once():
+        fb = forward_backward(batch, params)
+        dirs, scores = mea_decode_batch(
+            fb, batch.offsets, batch.m, batch.n, W
+        )
+        # force full materialisation (remote runtimes may no-op
+        # block_until_ready)
+        return float(np.asarray(fb["loglik"]).sum()) + float(
+            np.asarray(scores).sum()
+        )
+
+    run_once()  # compile + warm
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        run_once()
+    elapsed = (time.time() - t0) / reps
+
+    k_total = int(np.asarray(batch.k_end).sum())
+    cells = k_total * W  # forward pass band cells (bwd+mea add ~2x work)
+    cells_per_sec = cells / elapsed
+    reads_per_sec = B / elapsed
+
+    result = {
+        "metric": "pairhmm_realign_band_cells_per_sec",
+        "value": round(cells_per_sec, 1),
+        "unit": "cells/s",
+        "vs_baseline": round(cells_per_sec / BASELINE_CELLS_PER_SEC, 3),
+        "detail": {
+            "device": str(jax.devices()[0]),
+            "batch": B,
+            "read_length": L,
+            "band_width": W,
+            "reads_per_sec_10kb": round(reads_per_sec, 2),
+            "seconds_per_batch": round(elapsed, 4),
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

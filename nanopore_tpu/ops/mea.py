@@ -73,7 +73,9 @@ def _mea_scan_single(
     o_km1 = offsets[:-1]
     o_km2 = jnp.concatenate([jnp.zeros((1,), jnp.int32), offsets[:-2]])
     xs = (ks, o_k, o_km1, o_km2, gamma_match[1:], gamma_del[1:], gamma_ins[1:])
-    (final_v, _), dirs = lax.scan(step, (v0, jnp.full((W,), NEG)), xs)
+    (final_v, _), dirs = lax.scan(
+        step, (v0, jnp.full((W,), NEG)), xs, unroll=8
+    )
     # final alignment score sits at band index 0 of diagonal k_end = m + n;
     # for batch-padded reads (K > m+n) the caller ignores it.
     score = final_v[0]

@@ -1,0 +1,153 @@
+"""Sharded Baum-Welch: the multi-chip EM training step.
+
+One jitted step = E-step (batched banded forward/backward) + M-step,
+sharded over a (dp, trial) mesh: read batches sharded over ``dp`` (their
+expectation sums become psums over ICI), trial model parameters sharded
+over ``trial`` (random restarts train concurrently — the reference runs
+them as separate jobTree processes, utils.py:514).  The M-step is tiny
+replicated arithmetic.
+
+This is the training step that ``__graft_entry__.dryrun_multichip``
+compiles over a virtual mesh, and that pod-scale EM uses on real slices.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from nanopore_tpu.align.model import PairHmmModel
+from nanopore_tpu.ops.pairhmm import (
+    BandedBatch,
+    KernelParams,
+    kernel_tables,
+    _forward_backward_single,
+)
+from nanopore_tpu.parallel.mesh import DP_AXIS, TRIAL_AXIS
+
+
+@functools.partial(
+    jax.jit, static_argnames=("band_width", "pseudocount")
+)
+def em_train_step(
+    transitions,  # (T, 5, 5) per-trial
+    emissions,  # (T, 5, 16) per-trial
+    x_pad,  # (B, n_pad)
+    yr_pad,  # (B, m_pad)
+    offsets,  # (B, K+1)
+    m,  # (B,)
+    n,  # (B,)
+    k_end,  # (B,)
+    weights,  # (B,) 0/1 mask for padding rows
+    band_width: int,
+    pseudocount: float = 1e-6,
+):
+    """One EM iteration for all trials.  Returns (new_t, new_e, loglik(T,))."""
+
+    def one_pair(params, xe, ye, oe, me, ne, ke):
+        out = _forward_backward_single(
+            params, (xe, ye, oe, me, ne, ke, band_width)
+        )
+        return out["trans"], out["emis"], out["loglik"]
+
+    def one_trial(t, e):
+        params = kernel_tables(t, e)
+        trans_b, emis_b, ll_b = jax.vmap(
+            lambda xe, ye, oe, me, ne, ke: one_pair(
+                params, xe, ye, oe, me, ne, ke
+            )
+        )(x_pad, yr_pad, offsets, m, n, k_end)
+        w = weights[:, None, None]
+        trans = (trans_b * w).sum(axis=0)
+        emis = (emis_b * w).sum(axis=0)
+        loglik = (ll_b * weights).sum()
+        # M-step preserving the transition sparsity structure
+        structure = (t > 0).astype(trans.dtype)
+        new_t = trans * structure + pseudocount * structure
+        new_t = new_t / jnp.maximum(new_t.sum(axis=1, keepdims=True), 1e-30)
+        new_e = emis + pseudocount
+        new_e = new_e / jnp.maximum(new_e.sum(axis=1, keepdims=True), 1e-30)
+        return new_t, new_e, loglik
+
+    return jax.vmap(one_trial)(transitions, emissions)
+
+
+def make_sharded_em_step(mesh, band_width: int):
+    """Bind em_train_step to a mesh with (dp, trial) shardings."""
+    trial_s = NamedSharding(mesh, P(TRIAL_AXIS))
+    dp_s = NamedSharding(mesh, P(DP_AXIS))
+    rep = NamedSharding(mesh, P())
+
+    def step(trial_models, batch_arrays):
+        t, e = trial_models
+        x_pad, yr_pad, offsets, m, n, k_end, w = batch_arrays
+        t = jax.device_put(t, trial_s)
+        e = jax.device_put(e, trial_s)
+        x_pad = jax.device_put(x_pad, dp_s)
+        yr_pad = jax.device_put(yr_pad, dp_s)
+        offsets = jax.device_put(offsets, dp_s)
+        m = jax.device_put(m, dp_s)
+        n = jax.device_put(n, dp_s)
+        k_end = jax.device_put(k_end, dp_s)
+        w = jax.device_put(w, dp_s)
+        return em_train_step(
+            t, e, x_pad, yr_pad, offsets, m, n, k_end, w, band_width
+        )
+
+    return step
+
+
+def sharded_em_train(
+    batch: BandedBatch,
+    mesh,
+    trials: int = 3,
+    iterations: int = 100,
+    seed: int = 0,
+    convergence_tol: float = 1e-4,
+    weights: np.ndarray | None = None,
+) -> tuple[PairHmmModel, list[list[float]]]:
+    """Multi-trial EM over a prepared batch on a device mesh.
+
+    Returns (best unnormalised model, per-trial running likelihoods).
+    """
+    rng = np.random.default_rng(seed)
+    models = [PairHmmModel.random(rng) for _ in range(trials)]
+    t = np.stack([mm.transitions for mm in models]).astype(np.float32)
+    e = np.stack([mm.emissions for mm in models]).astype(np.float32)
+    B = batch.x_pad.shape[0]
+    w = (
+        np.ones(B, np.float32)
+        if weights is None
+        else np.asarray(weights, np.float32)
+    )
+    step = make_sharded_em_step(mesh, batch.band_width)
+    arrays = (
+        batch.x_pad, batch.yr_pad, batch.offsets, batch.m, batch.n,
+        batch.k_end, w,
+    )
+    traces: list[list[float]] = [[] for _ in range(trials)]
+    prev = None
+    for _ in range(iterations):
+        t_new, e_new, ll = step((t, e), arrays)
+        ll = np.asarray(ll)
+        t, e = np.asarray(t_new), np.asarray(e_new)
+        for j in range(trials):
+            traces[j].append(float(ll[j]))
+        total = float(ll.sum())
+        if prev is not None and abs(total - prev) <= convergence_tol * abs(
+            prev
+        ):
+            break
+        prev = total
+    best = int(np.argmax([tr[-1] for tr in traces]))
+    model = PairHmmModel(
+        transitions=np.asarray(t[best], np.float64),
+        emissions=np.asarray(e[best], np.float64),
+        likelihood=traces[best][-1],
+    )
+    return model, traces
