@@ -203,8 +203,10 @@ def prepare_banded_batch(
     n_pad_len = int(n_pad_to if n_pad_to else ns.max()) + 2 * PAD + W
     m_pad_len = int(m_pad_to if m_pad_to else ms.max()) + 2 * PAD + W
     B = len(pairs)
-    x_pad = np.full((B, n_pad_len), _PAD_SENTINEL, np.int8)
-    yr_pad = np.full((B, m_pad_len), _PAD_SENTINEL, np.int8)
+    # int32 storage: narrow-int dynamic slices hit awkward (32,128)
+    # tiling on TPU; the few-MB cost is irrelevant next to the lattice
+    x_pad = np.full((B, n_pad_len), _PAD_SENTINEL, np.int32)
+    yr_pad = np.full((B, m_pad_len), _PAD_SENTINEL, np.int32)
     offsets = np.zeros((B, K + 1), np.int32)
     for b, (x, y, cig) in enumerate(pairs):
         x_pad[b, PAD : PAD + len(x)] = x
@@ -232,6 +234,18 @@ def _shift_band(arr: jax.Array, s: jax.Array) -> jax.Array:
 
 def _band_codes(seq_pad: jax.Array, start: jax.Array, W: int) -> jax.Array:
     return lax.dynamic_slice_in_dim(seq_pad, start, W).astype(jnp.int32)
+
+
+def _onehot5(codes: jax.Array, W: int) -> jax.Array:
+    """(W,) int32 -> (5, W) f32 one-hot.
+
+    Emission lookups run as one-hot contractions instead of jnp.take:
+    small-table gathers lower to scalar loops on TPU and dominated the
+    step time (measured ~50-350us/step vs ~2us compute).
+    """
+    return (
+        codes[None, :] == lax.broadcasted_iota(jnp.int32, (5, W), 0)
+    ).astype(jnp.float32)
 
 
 def _valid_mask(k, o_k, m, n, W):
@@ -263,13 +277,15 @@ def _forward_scan_single(params: KernelParams, batch_elem, store_lattice: bool):
         x_cur = _band_codes(x_pad, PAD + o_k - 1, W)   # x[j-1]
         y_cur = _band_codes(yr_pad, PAD + m - k + o_k, W)  # y[i-1]
 
-        e_m = jnp.take(params.e_match_flat, x_cur * 5 + y_cur)
-        e_del = jnp.take(params.e_gap_flat, 1 * 5 + x_cur), jnp.take(
-            params.e_gap_flat, 3 * 5 + x_cur
-        )
-        e_ins = jnp.take(params.e_gap_flat, 2 * 5 + y_cur), jnp.take(
-            params.e_gap_flat, 4 * 5 + y_cur
-        )
+        oh_x = _onehot5(x_cur, W)
+        oh_y = _onehot5(y_cur, W)
+        e_match = params.e_match_flat.reshape(5, 5)
+        e_gap = params.e_gap_flat.reshape(5, 5)
+        e_m = ((e_match @ oh_y) * oh_x).sum(axis=0)
+        gx = e_gap @ oh_x  # (5, W): per-state delete emissions
+        gy = e_gap @ oh_y  # (5, W): per-state insert emissions
+        e_del = (gx[1], gx[3])
+        e_ins = (gy[2], gy[4])
 
         # scales accumulate negative increments, so ls2 >= ls1 and r >= 1
         r = jnp.exp(jnp.clip(ls2 - ls1, -80.0, 80.0))
@@ -364,11 +380,15 @@ def _forward_backward_single(params: KernelParams, batch_elem):
         x_cur = _band_codes(x_pad, PAD + o_k - 1, W)    # x[j-1]
         y_cur = _band_codes(yr_pad, PAD + m - k + o_k, W)   # y[i-1]
 
-        e_m_next = jnp.take(params.e_match_flat, x_next * 5 + y_next)
-        e_d1_next = jnp.take(params.e_gap_flat, 1 * 5 + x_next)
-        e_d2_next = jnp.take(params.e_gap_flat, 3 * 5 + x_next)
-        e_i1_next = jnp.take(params.e_gap_flat, 2 * 5 + y_next)
-        e_i2_next = jnp.take(params.e_gap_flat, 4 * 5 + y_next)
+        e_match = params.e_match_flat.reshape(5, 5)
+        e_gap = params.e_gap_flat.reshape(5, 5)
+        oh_xn = _onehot5(x_next, W)
+        oh_yn = _onehot5(y_next, W)
+        e_m_next = ((e_match @ oh_yn) * oh_xn).sum(axis=0)
+        gx_next = e_gap @ oh_xn
+        gy_next = e_gap @ oh_yn
+        e_d1_next, e_d2_next = gx_next[1], gx_next[3]
+        e_i1_next, e_i2_next = gy_next[2], gy_next[4]
 
         r = jnp.exp(jnp.clip(lsb2 - lsb1, -80.0, 80.0))
         # destination values aligned onto current band
@@ -403,22 +423,15 @@ def _forward_backward_single(params: KernelParams, batch_elem):
         g_factor = jnp.exp(jnp.clip(lsf + lsb_new - loglik, -80.0, 80.0))
         gamma = f_hat * new * g_factor  # (5, W)
 
-        valid_emit = (
-            (x_cur < 4) & (y_cur < 4)
+        oh4_x = _onehot5(x_cur, W)[:4]  # (4, W): N columns drop out
+        oh4_y = _onehot5(y_cur, W)[:4]
+        e16 = e16 + jnp.einsum("w,aw,bw->ab", gamma[0], oh4_x, oh4_y).reshape(16)
+        edel = edel + jnp.stack(
+            [oh4_x @ gamma[1], oh4_x @ gamma[3]]
         )
-        onehot16 = (
-            (x_cur * 4 + y_cur)[:, None]
-            == lax.broadcasted_iota(jnp.int32, (W, 16), 1)
-        ).astype(jnp.float32) * valid_emit[:, None].astype(jnp.float32)
-        e16 = e16 + gamma[0] @ onehot16
-        onehot_x = (
-            x_cur[:, None] == lax.broadcasted_iota(jnp.int32, (W, 4), 1)
-        ).astype(jnp.float32)
-        onehot_y = (
-            y_cur[:, None] == lax.broadcasted_iota(jnp.int32, (W, 4), 1)
-        ).astype(jnp.float32)
-        edel = edel + jnp.stack([gamma[1] @ onehot_x, gamma[3] @ onehot_x])
-        eins = eins + jnp.stack([gamma[2] @ onehot_y, gamma[4] @ onehot_y])
+        eins = eins + jnp.stack(
+            [oh4_y @ gamma[2], oh4_y @ gamma[4]]
+        )
 
         gamma_match = gamma[0]
         gamma_del = gamma[1] + gamma[3]
