@@ -27,14 +27,10 @@ import jax.numpy as jnp
 from jax import lax
 
 from nanopore_tpu.io.sam import CIG
+from nanopore_tpu.ops.pairhmm import _shift_sel
 
 NEG = -1e30
 DIR_DIAG, DIR_DEL, DIR_INS, DIR_NONE = 0, 1, 2, 3
-
-
-def _shift_fill(arr: jax.Array, s: jax.Array, fill: float) -> jax.Array:
-    padded = jnp.pad(arr, [(1, 1)], constant_values=fill)
-    return lax.dynamic_slice_in_dim(padded, 1 + s, arr.shape[-1], axis=-1)
 
 
 def _mea_scan_single(
@@ -50,9 +46,9 @@ def _mea_scan_single(
         d1 = o_k - o_km1
         d2 = o_k - o_km2 - 1
 
-        diag = _shift_fill(prevprev, d2, NEG) + g_m - match_gamma
-        left = _shift_fill(prev, d1 - 1, NEG) + gap_gamma * g_d
-        up = _shift_fill(prev, d1, NEG) + gap_gamma * g_i
+        diag = _shift_sel(prevprev, d2, -1, 1, NEG) + g_m - match_gamma
+        left = _shift_sel(prev, d1 - 1, -1, 0, NEG) + gap_gamma * g_d
+        up = _shift_sel(prev, d1, 0, 1, NEG) + gap_gamma * g_i
 
         stacked = jnp.stack([diag, left, up])  # order = tie-break priority
         best = jnp.max(stacked, axis=0)

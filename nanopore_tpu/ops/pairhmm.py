@@ -159,19 +159,26 @@ def band_offsets_from_cigar(
 
 
 class BandedBatch(NamedTuple):
-    """Padded per-read arrays for a batch of guide-banded alignments.
+    """Per-diagonal band arrays for a batch of guide-banded alignments.
 
-    x_pad:   (B, n_pad) int8 ref codes, PAD-shifted with N sentinel
-    yr_pad:  (B, m_pad) int8 REVERSED read codes, PAD-shifted
+    Sequence codes are PREGATHERED into band layout on the host so the
+    device scan consumes them as plain xs slices: vmapped per-read
+    dynamic slices lower to batched gathers on TPU and cost ~13x the
+    whole step's compute (measured 47us vs 3.6us per step).
+
+    xc: (B, K+1, W) int8 ref codes x[j-1] at band cell (k, b)
+    yc: (B, K+1, W) int8 read codes y[i-1]
+    xn: (B, K+1, W) int8 ref codes x[j] (backward-pass destinations)
+    yn: (B, K+1, W) int8 read codes y[i]
     offsets: (B, K+1) int32 band offsets per diagonal
-    m:       (B,) int32 read lengths
-    n:       (B,) int32 ref lengths
-    k_end:   (B,) int32 = m + n
+    m / n / k_end: (B,) int32 read / ref lengths and m + n
     band_width: static python int
     """
 
-    x_pad: jax.Array
-    yr_pad: jax.Array
+    xc: jax.Array
+    yc: jax.Array
+    xn: jax.Array
+    yn: jax.Array
     offsets: jax.Array
     m: jax.Array
     n: jax.Array
@@ -192,29 +199,43 @@ def prepare_banded_batch(
 ) -> BandedBatch:
     """Pack (ref_codes, read_codes, guide_cigar) tuples into a BandedBatch.
 
-    ``k_max`` / ``n_pad_to`` / ``m_pad_to`` let callers bucket shapes
-    (e.g. to powers of two) so jit caches stay small.
+    ``k_max`` lets callers bucket the diagonal count (e.g. to powers of
+    two) so jit caches stay small; ``n_pad_to``/``m_pad_to`` are accepted
+    for API stability but only influence the default k_max.
     """
     W = band_width
-    PAD = W + 2
     ms = np.array([len(y) for _, y, _ in pairs], np.int32)
     ns = np.array([len(x) for x, _, _ in pairs], np.int32)
+    if k_max is None and (n_pad_to or m_pad_to):
+        k_max = int(n_pad_to or ns.max()) + int(m_pad_to or ms.max())
     K = int(k_max if k_max is not None else (ms + ns).max())
-    n_pad_len = int(n_pad_to if n_pad_to else ns.max()) + 2 * PAD + W
-    m_pad_len = int(m_pad_to if m_pad_to else ms.max()) + 2 * PAD + W
     B = len(pairs)
-    # int32 storage: narrow-int dynamic slices hit awkward (32,128)
-    # tiling on TPU; the few-MB cost is irrelevant next to the lattice
-    x_pad = np.full((B, n_pad_len), _PAD_SENTINEL, np.int32)
-    yr_pad = np.full((B, m_pad_len), _PAD_SENTINEL, np.int32)
+    xc = np.full((B, K + 1, W), _PAD_SENTINEL, np.int8)
+    yc = np.full((B, K + 1, W), _PAD_SENTINEL, np.int8)
+    xn = np.full((B, K + 1, W), _PAD_SENTINEL, np.int8)
+    yn = np.full((B, K + 1, W), _PAD_SENTINEL, np.int8)
     offsets = np.zeros((B, K + 1), np.int32)
+    b_idx = np.arange(W)[None, :]
+    k_idx = np.arange(K + 1)[:, None]
     for b, (x, y, cig) in enumerate(pairs):
-        x_pad[b, PAD : PAD + len(x)] = x
-        yr_pad[b, PAD : PAD + len(y)] = y[::-1]
-        offsets[b] = band_offsets_from_cigar(cig, len(y), len(x), W, K)
+        o = band_offsets_from_cigar(cig, len(y), len(x), W, K)
+        offsets[b] = o
+        j = o[:, None] + b_idx  # (K+1, W) ref coordinate of band cells
+        i = k_idx - j
+
+        def gather(seq, pos):
+            out = np.asarray(seq)[np.clip(pos, 0, len(seq) - 1)]
+            return np.where((pos >= 0) & (pos < len(seq)), out, _PAD_SENTINEL)
+
+        xc[b] = gather(x, j - 1)
+        yc[b] = gather(y, i - 1)
+        xn[b] = gather(x, j)
+        yn[b] = gather(y, i)
     return BandedBatch(
-        x_pad=jnp.asarray(x_pad),
-        yr_pad=jnp.asarray(yr_pad),
+        xc=jnp.asarray(xc),
+        yc=jnp.asarray(yc),
+        xn=jnp.asarray(xn),
+        yn=jnp.asarray(yn),
         offsets=jnp.asarray(offsets),
         m=jnp.asarray(ms),
         n=jnp.asarray(ns),
@@ -226,25 +247,43 @@ def prepare_banded_batch(
 # --------------------------------------------------------------------- #
 # Kernel helpers
 # --------------------------------------------------------------------- #
-def _shift_band(arr: jax.Array, s: jax.Array) -> jax.Array:
-    """result[..., b] = arr[..., b + s] with zero fill; s a traced int in [-1, 1]."""
-    padded = jnp.pad(arr, [(0, 0)] * (arr.ndim - 1) + [(1, 1)])
-    return lax.dynamic_slice_in_dim(padded, 1 + s, arr.shape[-1], axis=-1)
+def _static_shift(arr: jax.Array, s: int, fill: float = 0.0) -> jax.Array:
+    """result[..., b] = arr[..., b + s] with constant fill; s static."""
+    if s == 0:
+        return arr
+    pad = [(0, 0)] * (arr.ndim - 1)
+    if s > 0:
+        return jnp.pad(
+            arr[..., s:], pad + [(0, s)], constant_values=fill
+        )
+    return jnp.pad(arr[..., :s], pad + [(-s, 0)], constant_values=fill)
 
 
-def _band_codes(seq_pad: jax.Array, start: jax.Array, W: int) -> jax.Array:
-    return lax.dynamic_slice_in_dim(seq_pad, start, W).astype(jnp.int32)
+def _shift_sel(
+    arr: jax.Array, s: jax.Array, lo: int, hi: int, fill: float = 0.0
+) -> jax.Array:
+    """Band shift by a traced s in [lo, hi]: select among static shifts.
+
+    A dynamic_slice here would become a batched gather under vmap (the
+    per-read shift differs); selecting between the 2-3 statically
+    shifted variants stays fully vectorised.
+    """
+    out = _static_shift(arr, lo, fill)
+    for v in range(lo + 1, hi + 1):
+        out = jnp.where(s == v, _static_shift(arr, v, fill), out)
+    return out
 
 
 def _onehot5(codes: jax.Array, W: int) -> jax.Array:
-    """(W,) int32 -> (5, W) f32 one-hot.
+    """(W,) int codes -> (5, W) f32 one-hot.
 
     Emission lookups run as one-hot contractions instead of jnp.take:
     small-table gathers lower to scalar loops on TPU and dominated the
     step time (measured ~50-350us/step vs ~2us compute).
     """
     return (
-        codes[None, :] == lax.broadcasted_iota(jnp.int32, (5, W), 0)
+        codes[None, :].astype(jnp.int32)
+        == lax.broadcasted_iota(jnp.int32, (5, W), 0)
     ).astype(jnp.float32)
 
 
@@ -259,45 +298,37 @@ def _valid_mask(k, o_k, m, n, W):
 # Forward
 # --------------------------------------------------------------------- #
 def _forward_scan_single(params: KernelParams, batch_elem, store_lattice: bool):
-    """Forward over one read. Returns (loglik, f_hat[K,5,W], lsf[K+1])."""
-    x_pad, yr_pad, offsets, m, n, k_end, W = batch_elem
-    PAD = W + 2
+    """Forward over one read. Returns (loglik, f_hat[K+1,5,W], lsf[K+1])."""
+    xc, yc, xn, yn, offsets, m, n, k_end, W = batch_elem
     K = offsets.shape[0] - 1
     t = params.t
+    e_match = params.e_match_flat.reshape(5, 5)
+    e_gap = params.e_gap_flat.reshape(5, 5)
 
     start = jnp.full((NUM_STATES, W), 0.0, jnp.float32)
     start = start.at[:, 0].set(1.0 / NUM_STATES)
 
     def step(carry, xs):
         prev, prevprev, ls1, ls2, loglik = carry
-        k, o_k, o_km1, o_km2 = xs
-        d1 = o_k - o_km1
-        d2 = o_k - o_km2 - 1
-
-        x_cur = _band_codes(x_pad, PAD + o_k - 1, W)   # x[j-1]
-        y_cur = _band_codes(yr_pad, PAD + m - k + o_k, W)  # y[i-1]
+        k, o_k, d1, d2, x_cur, y_cur = xs
 
         oh_x = _onehot5(x_cur, W)
         oh_y = _onehot5(y_cur, W)
-        e_match = params.e_match_flat.reshape(5, 5)
-        e_gap = params.e_gap_flat.reshape(5, 5)
         e_m = ((e_match @ oh_y) * oh_x).sum(axis=0)
         gx = e_gap @ oh_x  # (5, W): per-state delete emissions
         gy = e_gap @ oh_y  # (5, W): per-state insert emissions
-        e_del = (gx[1], gx[3])
-        e_ins = (gy[2], gy[4])
 
         # scales accumulate negative increments, so ls2 >= ls1 and r >= 1
         r = jnp.exp(jnp.clip(ls2 - ls1, -80.0, 80.0))
-        diag_pred = _shift_band(prevprev, d2) * r
-        left_pred = _shift_band(prev, d1 - 1)
-        up_pred = _shift_band(prev, d1)
+        diag_pred = _shift_sel(prevprev, d2, -1, 1) * r
+        left_pred = _shift_sel(prev, d1 - 1, -1, 0)
+        up_pred = _shift_sel(prev, d1, 0, 1)
 
         new_m = e_m * jnp.einsum("s,sw->w", t[:, 0], diag_pred)
-        new_d1 = e_del[0] * jnp.einsum("s,sw->w", t[:, 1], left_pred)
-        new_i1 = e_ins[0] * jnp.einsum("s,sw->w", t[:, 2], up_pred)
-        new_d2 = e_del[1] * jnp.einsum("s,sw->w", t[:, 3], left_pred)
-        new_i2 = e_ins[1] * jnp.einsum("s,sw->w", t[:, 4], up_pred)
+        new_d1 = gx[1] * jnp.einsum("s,sw->w", t[:, 1], left_pred)
+        new_i1 = gy[2] * jnp.einsum("s,sw->w", t[:, 2], up_pred)
+        new_d2 = gx[3] * jnp.einsum("s,sw->w", t[:, 3], left_pred)
+        new_i2 = gy[4] * jnp.einsum("s,sw->w", t[:, 4], up_pred)
         new = jnp.stack([new_m, new_d1, new_i1, new_d2, new_i2])
         new = new * _valid_mask(k, o_k, m, n, W)[None, :]
 
@@ -315,10 +346,11 @@ def _forward_scan_single(params: KernelParams, batch_elem, store_lattice: bool):
 
     ks = jnp.arange(1, K + 1)
     o_k = offsets[1:]
-    o_km1 = offsets[:-1]
+    d1 = offsets[1:] - offsets[:-1]
     # o[k-2] for k = 1..K  ->  [o[-1]:=0, o[0], ..., o[K-2]]
     o_km2 = jnp.concatenate([jnp.zeros((1,), jnp.int32), offsets[:-2]])
-    xs = (ks, o_k, o_km1, o_km2)
+    d2 = o_k - o_km2 - 1
+    xs = (ks, o_k, d1, d2, xc[1:], yc[1:])
     init = (start, jnp.zeros((NUM_STATES, W), jnp.float32), 0.0, 0.0, 0.0)
     (fin_carry), ys = lax.scan(step, init, xs, unroll=SCAN_UNROLL)
     loglik = fin_carry[4]
@@ -332,17 +364,18 @@ def _forward_scan_single(params: KernelParams, batch_elem, store_lattice: bool):
 
 
 @functools.partial(jax.jit, static_argnames=("band_width",))
-def _forward_loglik_jit(params, x_pad, yr_pad, offsets, m, n, k_end, band_width):
-    fn = lambda xe, ye, oe, me, ne, ke: _forward_scan_single(
-        params, (xe, ye, oe, me, ne, ke, band_width), store_lattice=False
+def _forward_loglik_jit(params, xc, yc, xn, yn, offsets, m, n, k_end,
+                        band_width):
+    fn = lambda *elem: _forward_scan_single(
+        params, (*elem, band_width), store_lattice=False
     )[0]
-    return jax.vmap(fn)(x_pad, yr_pad, offsets, m, n, k_end)
+    return jax.vmap(fn)(xc, yc, xn, yn, offsets, m, n, k_end)
 
 
 def forward_loglik(batch: BandedBatch, params: KernelParams) -> jax.Array:
     """Batched banded forward log-likelihood, shape (B,)."""
     return _forward_loglik_jit(
-        params, batch.x_pad, batch.yr_pad, batch.offsets,
+        params, batch.xc, batch.yc, batch.xn, batch.yn, batch.offsets,
         batch.m, batch.n, batch.k_end, batch.band_width,
     )
 
@@ -361,10 +394,11 @@ def _forward_backward_single(params: KernelParams, batch_elem):
       trans: (5, 5) expected transition counts
       emis:  (5, 16) expected emission counts
     """
-    x_pad, yr_pad, offsets, m, n, k_end, W = batch_elem
-    PAD = W + 2
+    xc, yc, xn, yn, offsets, m, n, k_end, W = batch_elem
     K = offsets.shape[0] - 1
     t = params.t
+    e_match = params.e_match_flat.reshape(5, 5)
+    e_gap = params.e_gap_flat.reshape(5, 5)
 
     loglik, f_all, lsf_all = _forward_scan_single(
         params, batch_elem, store_lattice=True
@@ -373,15 +407,8 @@ def _forward_backward_single(params: KernelParams, batch_elem):
     # scan k from K down to 0
     def step(carry, xs):
         bnext, bnext2, lsb1, lsb2, trans, e16, edel, eins = carry
-        k, o_k, d1n, d2n2, f_hat, lsf = xs
+        k, o_k, d1n, d2n2, f_hat, lsf, x_next, y_next, x_cur, y_cur = xs
 
-        x_next = _band_codes(x_pad, PAD + o_k, W)       # x[j]
-        y_next = _band_codes(yr_pad, PAD + m - 1 - k + o_k, W)  # y[i]
-        x_cur = _band_codes(x_pad, PAD + o_k - 1, W)    # x[j-1]
-        y_cur = _band_codes(yr_pad, PAD + m - k + o_k, W)   # y[i-1]
-
-        e_match = params.e_match_flat.reshape(5, 5)
-        e_gap = params.e_gap_flat.reshape(5, 5)
         oh_xn = _onehot5(x_next, W)
         oh_yn = _onehot5(y_next, W)
         e_m_next = ((e_match @ oh_yn) * oh_xn).sum(axis=0)
@@ -392,11 +419,11 @@ def _forward_backward_single(params: KernelParams, batch_elem):
 
         r = jnp.exp(jnp.clip(lsb2 - lsb1, -80.0, 80.0))
         # destination values aligned onto current band
-        bM_dest = _shift_band(bnext2[0], -d2n2) * r * e_m_next
-        bD1_dest = _shift_band(bnext[1], 1 - d1n) * e_d1_next
-        bD2_dest = _shift_band(bnext[3], 1 - d1n) * e_d2_next
-        bI1_dest = _shift_band(bnext[2], -d1n) * e_i1_next
-        bI2_dest = _shift_band(bnext[4], -d1n) * e_i2_next
+        bM_dest = _shift_sel(bnext2[0], -d2n2, -1, 1) * r * e_m_next
+        bD1_dest = _shift_sel(bnext[1], 1 - d1n, 0, 1) * e_d1_next
+        bD2_dest = _shift_sel(bnext[3], 1 - d1n, 0, 1) * e_d2_next
+        bI1_dest = _shift_sel(bnext[2], -d1n, -1, 0) * e_i1_next
+        bI2_dest = _shift_sel(bnext[4], -d1n, -1, 0) * e_i2_next
 
         dest = jnp.stack([bM_dest, bD1_dest, bI1_dest, bD2_dest, bI2_dest])
         new = jnp.einsum("st,tw->sw", t, dest)
@@ -456,7 +483,10 @@ def _forward_backward_single(params: KernelParams, batch_elem):
     )
     f_rev = f_all[::-1]
     lsf_rev = lsf_all[::-1]
-    xs = (ks, o_k, d1n, d2n2, f_rev, lsf_rev)
+    xs = (
+        ks, o_k, d1n, d2n2, f_rev, lsf_rev,
+        xn[::-1], yn[::-1], xc[::-1], yc[::-1],
+    )
 
     init = (
         jnp.zeros((NUM_STATES, W), jnp.float32),
@@ -493,11 +523,12 @@ def _forward_backward_single(params: KernelParams, batch_elem):
 
 
 @functools.partial(jax.jit, static_argnames=("band_width",))
-def _forward_backward_jit(params, x_pad, yr_pad, offsets, m, n, k_end, band_width):
-    fn = lambda xe, ye, oe, me, ne, ke: _forward_backward_single(
-        params, (xe, ye, oe, me, ne, ke, band_width)
+def _forward_backward_jit(params, xc, yc, xn, yn, offsets, m, n, k_end,
+                          band_width):
+    fn = lambda *elem: _forward_backward_single(
+        params, (*elem, band_width)
     )
-    return jax.vmap(fn)(x_pad, yr_pad, offsets, m, n, k_end)
+    return jax.vmap(fn)(xc, yc, xn, yn, offsets, m, n, k_end)
 
 
 def forward_backward(batch: BandedBatch, params: KernelParams) -> dict:
@@ -507,7 +538,7 @@ def forward_backward(batch: BandedBatch, params: KernelParams) -> dict:
     (B, K+1, W), trans (B,5,5), emis (B,5,16).
     """
     return _forward_backward_jit(
-        params, batch.x_pad, batch.yr_pad, batch.offsets,
+        params, batch.xc, batch.yc, batch.xn, batch.yn, batch.offsets,
         batch.m, batch.n, batch.k_end, batch.band_width,
     )
 

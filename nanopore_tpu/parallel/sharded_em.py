@@ -37,8 +37,10 @@ from nanopore_tpu.parallel.mesh import DP_AXIS, TRIAL_AXIS
 def em_train_step(
     transitions,  # (T, 5, 5) per-trial
     emissions,  # (T, 5, 16) per-trial
-    x_pad,  # (B, n_pad)
-    yr_pad,  # (B, m_pad)
+    xc,  # (B, K+1, W) band ref codes
+    yc,  # (B, K+1, W) band read codes
+    xn,  # (B, K+1, W)
+    yn,  # (B, K+1, W)
     offsets,  # (B, K+1)
     m,  # (B,)
     n,  # (B,)
@@ -49,19 +51,15 @@ def em_train_step(
 ):
     """One EM iteration for all trials.  Returns (new_t, new_e, loglik(T,))."""
 
-    def one_pair(params, xe, ye, oe, me, ne, ke):
-        out = _forward_backward_single(
-            params, (xe, ye, oe, me, ne, ke, band_width)
-        )
+    def one_pair(params, *elem):
+        out = _forward_backward_single(params, (*elem, band_width))
         return out["trans"], out["emis"], out["loglik"]
 
     def one_trial(t, e):
         params = kernel_tables(t, e)
         trans_b, emis_b, ll_b = jax.vmap(
-            lambda xe, ye, oe, me, ne, ke: one_pair(
-                params, xe, ye, oe, me, ne, ke
-            )
-        )(x_pad, yr_pad, offsets, m, n, k_end)
+            lambda *elem: one_pair(params, *elem)
+        )(xc, yc, xn, yn, offsets, m, n, k_end)
         w = weights[:, None, None]
         trans = (trans_b * w).sum(axis=0)
         emis = (emis_b * w).sum(axis=0)
@@ -85,18 +83,20 @@ def make_sharded_em_step(mesh, band_width: int):
 
     def step(trial_models, batch_arrays):
         t, e = trial_models
-        x_pad, yr_pad, offsets, m, n, k_end, w = batch_arrays
+        xc, yc, xn, yn, offsets, m, n, k_end, w = batch_arrays
         t = jax.device_put(t, trial_s)
         e = jax.device_put(e, trial_s)
-        x_pad = jax.device_put(x_pad, dp_s)
-        yr_pad = jax.device_put(yr_pad, dp_s)
+        xc = jax.device_put(xc, dp_s)
+        yc = jax.device_put(yc, dp_s)
+        xn = jax.device_put(xn, dp_s)
+        yn = jax.device_put(yn, dp_s)
         offsets = jax.device_put(offsets, dp_s)
         m = jax.device_put(m, dp_s)
         n = jax.device_put(n, dp_s)
         k_end = jax.device_put(k_end, dp_s)
         w = jax.device_put(w, dp_s)
         return em_train_step(
-            t, e, x_pad, yr_pad, offsets, m, n, k_end, w, band_width
+            t, e, xc, yc, xn, yn, offsets, m, n, k_end, w, band_width
         )
 
     return step
@@ -119,7 +119,7 @@ def sharded_em_train(
     models = [PairHmmModel.random(rng) for _ in range(trials)]
     t = np.stack([mm.transitions for mm in models]).astype(np.float32)
     e = np.stack([mm.emissions for mm in models]).astype(np.float32)
-    B = batch.x_pad.shape[0]
+    B = batch.xc.shape[0]
     w = (
         np.ones(B, np.float32)
         if weights is None
@@ -127,8 +127,8 @@ def sharded_em_train(
     )
     step = make_sharded_em_step(mesh, batch.band_width)
     arrays = (
-        batch.x_pad, batch.yr_pad, batch.offsets, batch.m, batch.n,
-        batch.k_end, w,
+        batch.xc, batch.yc, batch.xn, batch.yn, batch.offsets, batch.m,
+        batch.n, batch.k_end, w,
     )
     traces: list[list[float]] = [[] for _ in range(trials)]
     prev = None

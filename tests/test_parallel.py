@@ -70,8 +70,8 @@ class TestShardedEm:
         e = np.stack([m.emissions for m in models]).astype(np.float32)
         w = np.ones(4, np.float32)
         new_t, new_e, ll = em_train_step(
-            t, e, batch.x_pad, batch.yr_pad, batch.offsets, batch.m,
-            batch.n, batch.k_end, w, 16,
+            t, e, batch.xc, batch.yc, batch.xn, batch.yn, batch.offsets,
+            batch.m, batch.n, batch.k_end, w, 16,
         )
         assert new_t.shape == (2, 5, 5)
         assert new_e.shape == (2, 5, 16)
@@ -107,12 +107,12 @@ class TestShardedEm:
         w2 = np.ones(2, np.float32)
         w4 = np.array([1, 1, 0, 0], np.float32)
         _, _, ll2 = em_train_step(
-            t, e, batch2.x_pad, batch2.yr_pad, batch2.offsets, batch2.m,
-            batch2.n, batch2.k_end, w2, 16,
+            t, e, batch2.xc, batch2.yc, batch2.xn, batch2.yn,
+            batch2.offsets, batch2.m, batch2.n, batch2.k_end, w2, 16,
         )
         _, _, ll4 = em_train_step(
-            t, e, batch4.x_pad, batch4.yr_pad, batch4.offsets, batch4.m,
-            batch4.n, batch4.k_end, w4, 16,
+            t, e, batch4.xc, batch4.yc, batch4.xn, batch4.yn,
+            batch4.offsets, batch4.m, batch4.n, batch4.k_end, w4, 16,
         )
         np.testing.assert_allclose(
             np.asarray(ll2), np.asarray(ll4), rtol=1e-5
