@@ -118,22 +118,33 @@ def chain_anchors(
     re = np.array([a.r_end for a in anchors])
     ln = np.array([a.length for a in anchors], np.float64)
 
-    score = ln.copy()
-    parent = np.full(A, -1)
-    for i in range(1, A):
-        dq = qs[i] - qe[:i]
-        dr = rs[i] - re[:i]
-        ok = (dq > 0) & (dr > 0) & (dr <= max_ref_gap)
-        drift = np.abs(dq - dr)
-        ok &= drift <= max_diag_drift
-        if not ok.any():
-            continue
-        gap = gap_open + gap_scale * np.minimum(np.abs(dq), dr) + 0.5 * drift
-        cand = np.where(ok, score[:i] + ln[i] - gap, -np.inf)
-        j = int(np.argmax(cand))
-        if cand[j] > score[i]:
-            score[i] = cand[j]
-            parent[i] = j
+    from nanopore_tpu.runtime import native_index
+
+    native = native_index.chain_dp(
+        qs, qe, rs, re, ln, max_ref_gap, max_diag_drift, gap_open, gap_scale
+    )
+    if native is not None:
+        score, parent = native
+    else:
+        score = ln.copy()
+        parent = np.full(A, -1)
+        for i in range(1, A):
+            dq = qs[i] - qe[:i]
+            dr = rs[i] - re[:i]
+            ok = (dq > 0) & (dr > 0) & (dr <= max_ref_gap)
+            drift = np.abs(dq - dr)
+            ok &= drift <= max_diag_drift
+            if not ok.any():
+                continue
+            gap = (
+                gap_open + gap_scale * np.minimum(np.abs(dq), dr)
+                + 0.5 * drift
+            )
+            cand = np.where(ok, score[:i] + ln[i] - gap, -np.inf)
+            j = int(np.argmax(cand))
+            if cand[j] > score[i]:
+                score[i] = cand[j]
+                parent[i] = j
 
     used = np.zeros(A, bool)
     chains: list[Chain] = []

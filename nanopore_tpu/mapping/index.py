@@ -61,25 +61,33 @@ class KmerIndex:
             [0] + [offsets[i + 1] for i in range(len(names))], np.int64
         )
 
-        kmers, valid = kmer_codes(ref_codes, k)
-        positions = np.nonzero(valid)[0].astype(np.int32)
-        kmers = kmers[valid]
-        order = np.argsort(kmers, kind="stable")
-        sorted_kmers = kmers[order]
-        sorted_positions = positions[order]
+        from nanopore_tpu.runtime import native_index
 
-        # drop over-represented seeds (repeat masking, cf. lastz
-        # --hspthresh / last -m occurrence limits)
-        if len(sorted_kmers):
-            uniq, starts, counts = np.unique(
-                sorted_kmers, return_index=True, return_counts=True
+        native = native_index.build_index(ref_codes, k)
+        if native is not None:
+            sorted_kmers, sorted_positions = native_index.mask_repeats(
+                *native, max_occ
             )
-            keep_runs = counts <= max_occ
-            keep = np.zeros(len(sorted_kmers), bool)
-            for s, c in zip(starts[keep_runs], counts[keep_runs]):
-                keep[s : s + c] = True
-            sorted_kmers = sorted_kmers[keep]
-            sorted_positions = sorted_positions[keep]
+        else:
+            kmers, valid = kmer_codes(ref_codes, k)
+            positions = np.nonzero(valid)[0].astype(np.int32)
+            kmers = kmers[valid]
+            order = np.argsort(kmers, kind="stable")
+            sorted_kmers = kmers[order]
+            sorted_positions = positions[order]
+
+            # drop over-represented seeds (repeat masking, cf. lastz
+            # --hspthresh / last -m occurrence limits)
+            if len(sorted_kmers):
+                uniq, starts, counts = np.unique(
+                    sorted_kmers, return_index=True, return_counts=True
+                )
+                keep_runs = counts <= max_occ
+                keep = np.zeros(len(sorted_kmers), bool)
+                for s, c in zip(starts[keep_runs], counts[keep_runs]):
+                    keep[s : s + c] = True
+                sorted_kmers = sorted_kmers[keep]
+                sorted_positions = sorted_positions[keep]
 
         return KmerIndex(
             k=k,
@@ -116,6 +124,14 @@ class KmerIndex:
         Fully vectorised: one batched searchsorted over the read's k-mers,
         then a cumsum-based group expansion (no Python per-kmer loop).
         """
+        from nanopore_tpu.runtime import native_index
+
+        native = native_index.lookup(
+            self.sorted_kmers, self.sorted_positions, read_codes, self.k
+        )
+        if native is not None:
+            return native
+
         kmers, valid = kmer_codes(read_codes, self.k)
         qpos_all = np.nonzero(valid)[0].astype(np.int32)
         kmers = kmers[valid]

@@ -1,0 +1,112 @@
+"""Parity tests: native seed/chain runtime vs the NumPy fallback."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nanopore_tpu.io.encoding import encode
+from nanopore_tpu.runtime import native_index
+
+
+pytestmark = pytest.mark.skipif(
+    native_index.get_lib() is None, reason="native runtime unavailable"
+)
+
+
+class TestNativeIndex:
+    def test_build_matches_numpy(self):
+        rng = np.random.default_rng(0)
+        codes = rng.integers(0, 4, 500).astype(np.int8)
+        codes[100:103] = 4  # N gap
+        k = 7
+        kmers, positions = native_index.build_index(codes, k)
+        # numpy reference
+        from nanopore_tpu.mapping.index import kmer_codes
+
+        ref_kmers, valid = kmer_codes(codes, k)
+        ref_pos = np.nonzero(valid)[0]
+        ref_kmers = ref_kmers[valid]
+        order = np.argsort(ref_kmers, kind="stable")
+        np.testing.assert_array_equal(kmers, ref_kmers[order])
+        np.testing.assert_array_equal(positions, ref_pos[order])
+
+    def test_mask_repeats(self):
+        kmers = np.array([1, 1, 1, 2, 3, 3], np.int64)
+        positions = np.arange(6, dtype=np.int32)
+        k2, p2 = native_index.mask_repeats(kmers, positions, max_occ=2)
+        assert k2.tolist() == [2, 3, 3]
+        assert p2.tolist() == [3, 4, 5]
+
+    def test_lookup_matches_numpy(self):
+        os.environ.pop("NANOPORE_TPU_NO_NATIVE", None)
+        rng = np.random.default_rng(1)
+        from nanopore_tpu.mapping.index import KmerIndex
+        from nanopore_tpu.io.encoding import decode
+
+        ref = decode(rng.integers(0, 4, 2000).astype(np.int8))
+        idx = KmerIndex.build({"r": ref}, k=11)
+        read = encode(ref[300:600])
+        rp_native, qp_native = idx.lookup(read)
+
+        os.environ["NANOPORE_TPU_NO_NATIVE"] = "1"
+        try:
+            # force the numpy path by bypassing get_lib
+            import nanopore_tpu.runtime.native_index as ni
+
+            saved = ni._lib
+            ni._lib = None
+            ni._tried = True
+            rp_np, qp_np = idx.lookup(read)
+            ni._lib = saved
+            ni._tried = True
+        finally:
+            os.environ.pop("NANOPORE_TPU_NO_NATIVE", None)
+        # same hit sets (order may differ)
+        assert set(zip(rp_native.tolist(), qp_native.tolist())) == set(
+            zip(rp_np.tolist(), qp_np.tolist())
+        )
+
+    def test_chain_dp_matches_numpy(self):
+        rng = np.random.default_rng(2)
+        A = 40
+        qs = np.sort(rng.integers(0, 3000, A)).astype(np.int32)
+        lens = rng.integers(13, 40, A)
+        qe = (qs + lens).astype(np.int32)
+        rs = (qs + rng.integers(-50, 50, A)).astype(np.int32)
+        re = (rs + lens).astype(np.int32)
+        order = np.lexsort((qs, rs))
+        qs, qe, rs, re = qs[order], qe[order], rs[order], re[order]
+        ln = lens[order].astype(np.float64)
+
+        score_n, parent_n = native_index.chain_dp(
+            qs, qe, rs, re, ln, 5000, 500, 1.0, 0.05
+        )
+        # numpy reference DP
+        score = ln.copy()
+        parent = np.full(A, -1)
+        for i in range(1, A):
+            dq = qs[i] - qe[:i]
+            dr = rs[i] - re[:i]
+            ok = (dq > 0) & (dr > 0) & (dr <= 5000)
+            drift = np.abs(dq - dr)
+            ok &= drift <= 500
+            if not ok.any():
+                continue
+            gap = 1.0 + 0.05 * np.minimum(np.abs(dq), dr) + 0.5 * drift
+            cand = np.where(ok, score[:i] + ln[i] - gap, -np.inf)
+            j = int(np.argmax(cand))
+            if cand[j] > score[i]:
+                score[i] = cand[j]
+                parent[i] = j
+        np.testing.assert_allclose(score_n, score, rtol=1e-12)
+        np.testing.assert_array_equal(parent_n, parent)
+
+    def test_merge_anchors_native(self):
+        ref_pos = np.array([10, 11, 12, 30, 100], np.int32)
+        read_pos = np.array([0, 1, 2, 20, 50], np.int32)
+        q, r, l = native_index.merge_anchors(ref_pos, read_pos, 5)
+        spans = set(zip(q.tolist(), r.tolist(), l.tolist()))
+        assert (0, 10, 7) in spans
+        assert (20, 30, 5) in spans
+        assert (50, 100, 5) in spans
