@@ -25,7 +25,22 @@ import numpy as np
 
 
 def main() -> int:
+    import os
+
     import jax
+
+    # persistent compilation cache: the banded-scan graphs take minutes
+    # to compile on the remote TPU runtime; cache them across runs
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from nanopore_tpu.align.model import PairHmmModel
     from nanopore_tpu.io.sam import CIG
@@ -38,7 +53,7 @@ def main() -> int:
 
     BASELINE_CELLS_PER_SEC = 2.0e7  # single-core C cactus_realign estimate
 
-    B, L, W = 32, 10_000, 64
+    B, L, W = 32, 5_000, 64
     rng = np.random.default_rng(0)
     model = PairHmmModel.load("nanopore_tpu/models/blasr_hmm_0.txt")
     params = make_kernel_params(model)

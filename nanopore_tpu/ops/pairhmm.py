@@ -47,7 +47,11 @@ from nanopore_tpu.io.sam import CIG
 DEFAULT_BAND_WIDTH = 64
 # Unrolling amortises the TPU while-loop per-step latency (~1.5-14us
 # measured on v5e via the remote runtime) across several anti-diagonals.
-SCAN_UNROLL = 8
+# Compile time grows with the unroll factor (the remote-compiled fwd+bwd
+# graph took >9min at unroll=8), so the default stays moderate.
+import os as _os
+
+SCAN_UNROLL = int(_os.environ.get("NANOPORE_TPU_SCAN_UNROLL", "4"))
 _PAD_SENTINEL = 4  # N code for out-of-range sequence reads
 
 
