@@ -71,8 +71,9 @@ def main() -> int:
             guide.append((CIG.D, n - d))
         return x, y, guide
 
+    # pin k_max so the jit cache key is stable across runs/datasets
     batch = prepare_banded_batch(
-        [noisy_pair(L) for _ in range(B)], band_width=W
+        [noisy_pair(L) for _ in range(B)], band_width=W, k_max=2 * L
     )
 
     def run_once():

@@ -22,6 +22,27 @@ def _setup_logging(level: str) -> None:
     )
 
 
+def _setup_compilation_cache() -> None:
+    """Persist XLA compilations — the remote TPU backend takes minutes
+    per banded-scan graph, once per shape."""
+    import os
+
+    import jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache",
+        ),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def cmd_run(args) -> int:
     from nanopore_tpu.pipeline import run_pipeline, PipelineConfig
     from nanopore_tpu.align.em import EmOptions
@@ -172,6 +193,7 @@ def main(argv=None) -> int:
 
     args = parser.parse_args(argv)
     _setup_logging(args.log_level)
+    _setup_compilation_cache()
     return args.fn(args)
 
 
