@@ -53,7 +53,7 @@ def main() -> int:
 
     BASELINE_CELLS_PER_SEC = 2.0e7  # single-core C cactus_realign estimate
 
-    B, L, W = 32, 5_000, 64
+    B, L, W = 128, 5_000, 64
     rng = np.random.default_rng(0)
     model = PairHmmModel.load("nanopore_tpu/models/blasr_hmm_0.txt")
     params = make_kernel_params(model)
