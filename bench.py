@@ -109,7 +109,7 @@ def main() -> int:
             "batch": B,
             "read_length": L,
             "band_width": W,
-            "reads_per_sec_10kb": round(reads_per_sec, 2),
+            "reads_per_sec": round(reads_per_sec, 2),
             "seconds_per_batch": round(elapsed, 4),
         },
     }
