@@ -43,6 +43,7 @@ class EmOptions:
     seed: int = 0
     pseudocount: float = 1e-6
     convergence_tol: float = 1e-4  # relative loglik change to stop early
+    use_mesh: bool = False  # shard over (dp, trial) when devices > 1
 
 
 @dataclass
@@ -89,6 +90,9 @@ def em_train(
         kept.append(pair)
     assert kept, "no alignments to train on"
 
+    if opts.use_mesh:
+        return _em_train_sharded(kept, opts)
+
     # batches are shape-stable across iterations: prepare once
     batches: list[BandedBatch] = []
     for s in range(0, len(kept), opts.batch_size):
@@ -128,6 +132,40 @@ def em_train(
     best = max(trial_models, key=lambda mm: mm.likelihood)
     return EmResult(
         model=best, trial_models=trial_models, running_likelihoods=running
+    )
+
+
+def _em_train_sharded(kept, opts: EmOptions) -> EmResult:
+    """Mesh-sharded EM: one padded batch, reads over dp, trials over
+    the trial axis (parallel/sharded_em)."""
+    import jax
+
+    from nanopore_tpu.parallel.mesh import make_mesh, DP_AXIS
+    from nanopore_tpu.parallel.sharded_em import sharded_em_train
+
+    mesh = make_mesh(n_trials=opts.trials)
+    dp = mesh.shape[DP_AXIS]
+    pad = (-len(kept)) % dp
+    weights = np.concatenate(
+        [np.ones(len(kept), np.float32), np.zeros(pad, np.float32)]
+    )
+    padded = kept + [kept[0]] * pad
+    batch = prepare_banded_batch(padded, band_width=opts.band_width)
+    model, traces = sharded_em_train(
+        batch,
+        mesh,
+        trials=opts.trials,
+        iterations=opts.iterations,
+        seed=opts.seed,
+        convergence_tol=opts.convergence_tol,
+        weights=weights,
+    )
+    # per-trial final models are not retained by the sharded path beyond
+    # the winner; replicate it so downstream XML averaging still works
+    return EmResult(
+        model=model,
+        trial_models=[model],
+        running_likelihoods=traces,
     )
 
 

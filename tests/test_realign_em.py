@@ -174,3 +174,25 @@ class TestEm:
         root = ET.parse(out + ".xml").getroot()
         assert len(root.findall("transition")) == 25
         assert len(root.findall("hmm")) == 2  # one per trial
+
+
+class TestEmMesh:
+    def test_em_train_use_mesh(self):
+        """Mesh-sharded EM path produces a valid model and improves."""
+        import numpy as np
+        from nanopore_tpu.align.em import em_train, EmOptions
+
+        rng = np.random.default_rng(9)
+        pairs = []
+        for _ in range(3):  # not divisible by dp: exercises padding
+            ref, read, cigar = simulate_alignment(rng, n=100)
+            pairs.append((ref, read, cigar))
+        result = em_train(
+            pairs,
+            EmOptions(trials=2, iterations=5, band_width=32, use_mesh=True),
+        )
+        np.testing.assert_allclose(
+            result.model.transitions.sum(axis=1), 1.0, atol=1e-5
+        )
+        for trace in result.running_likelihoods:
+            assert trace[-1] > trace[0]
