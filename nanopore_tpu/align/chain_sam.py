@@ -23,8 +23,6 @@ stable sort + take-last, utils.py:417), and output records sort by
 
 from __future__ import annotations
 
-import numpy as np
-
 from nanopore_tpu.io.sam import SamRecord, SamReader, SamWriter, CIG
 from nanopore_tpu.io.seqio import read_fasta_dict, read_fastq_dict
 from nanopore_tpu.io.encoding import reverse_complement

@@ -19,7 +19,7 @@ match emissions to GC 0.5 (utils.py:531-538).
 from __future__ import annotations
 
 import numpy as np
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from nanopore_tpu.align.model import PairHmmModel
 from nanopore_tpu.io.encoding import encode

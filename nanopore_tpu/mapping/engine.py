@@ -15,12 +15,12 @@ Per-aligner behaviour differences become config presets
 from __future__ import annotations
 
 import numpy as np
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from nanopore_tpu.align.model import PairHmmModel
-from nanopore_tpu.io.encoding import encode, revcomp_codes, reverse_complement
+from nanopore_tpu.io.encoding import encode, revcomp_codes
 from nanopore_tpu.io.sam import SamRecord, SamWriter, CIG
-from nanopore_tpu.io.seqio import fastq_read, read_fasta_dict
+from nanopore_tpu.io.seqio import fastq_read
 from nanopore_tpu.mapping.index import KmerIndex
 from nanopore_tpu.mapping.chain import merge_hits_to_anchors, chain_anchors, Chain
 from nanopore_tpu.ops.pairhmm import (

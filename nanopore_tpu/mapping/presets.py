@@ -23,7 +23,7 @@ Preset rationale (per aligner, from their invocation flags):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 from typing import Optional
 
 from nanopore_tpu.mapping.engine import MapperConfig

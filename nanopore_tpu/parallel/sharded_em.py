@@ -24,7 +24,6 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from nanopore_tpu.align.model import PairHmmModel
 from nanopore_tpu.ops.pairhmm import (
     BandedBatch,
-    KernelParams,
     kernel_tables,
     _forward_backward_single,
 )

@@ -13,11 +13,10 @@ from __future__ import annotations
 
 import json
 import logging
-import os
 import threading
 import time
 import traceback
-from concurrent.futures import ThreadPoolExecutor, Future
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
