@@ -4,15 +4,16 @@ Reproduces /root/reference/nanopore/metaAnalyses/customTrackAssemblyHub.py
 (default-disabled there, pipeline.py:83): per reference, build a hub
 directory with hub.txt / genomes.txt / groups.txt / trackDb.txt, the
 reference as a .2bit (native writer, no faToTwoBit binary), and one
-alignment track per experiment.  Tracks are emitted as the SAM files
-(BAM/BGZF emission is tracked as future work in the runtime layer).
+coordinate-sorted BAM track (+ .bai) per experiment via the native BAM
+codec — the reference's ``samtools view/sort/index`` chain
+(customTrackAssemblyHub.py:93-101) without the binaries.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 
+from nanopore_tpu.io.bam import sam_to_sorted_bam
 from nanopore_tpu.io.seqio import read_fasta_dict
 from nanopore_tpu.io.twobit import write_2bit
 from nanopore_tpu.meta.base import MetaAnalysis
@@ -65,7 +66,8 @@ class CustomTrackAssemblyHub(MetaAnalysis):
                     if not os.path.exists(sam):
                         continue
                     track = os.path.basename(exp.experiment_dir)
-                    shutil.copy(sam, os.path.join(genome_dir, track + ".sam"))
+                    bam = os.path.join(genome_dir, track + ".bam")
+                    sam_to_sorted_bam(sam, bam, bam + ".bai")
                     fh.write(
                         "track %s\n"
                         "longLabel %s\n"
@@ -74,6 +76,6 @@ class CustomTrackAssemblyHub(MetaAnalysis):
                         "visibility pack\n"
                         "group map\n"
                         "type bam\n"
-                        "bigDataUrl %s.sam\n\n"
+                        "bigDataUrl %s.bam\n\n"
                         % (track, track, track[:17], track)
                     )
