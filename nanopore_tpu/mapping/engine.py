@@ -52,6 +52,10 @@ class MapperConfig:
     batch_size: int = 8
     max_ref_gap: int = 5000
     max_diag_drift: int = 500
+    # extension decode: "mea" = posterior MEA (marginAlign-calibrated),
+    # "viterbi" = single-pass max-product (fast path, ~3x less device
+    # work; the analogue of the reference aligners' own extension DP)
+    decode: str = "mea"
 
 
 @dataclass
@@ -210,18 +214,36 @@ class MappingEngine:
             n_pad_to=n_pad,
             m_pad_to=m_pad,
         )
-        fb = forward_backward(batch, self.params)
-        dirs, _scores = mea_decode_batch(
-            fb, batch.offsets, batch.m, batch.n, cfg.band_width,
-            cfg.gap_gamma, cfg.match_gamma,
-        )
-        dirs = np.asarray(dirs)
         offsets = np.asarray(batch.offsets)
+        cigars: list[list[tuple[int, int]]] = []
+        if cfg.decode == "viterbi":
+            from nanopore_tpu.ops.viterbi import (
+                viterbi_decode_batch,
+                viterbi_traceback,
+            )
+
+            _scores, fstates, bps = viterbi_decode_batch(batch, self.params)
+            bps = np.asarray(bps)
+            fstates = np.asarray(fstates)
+            for b, c in enumerate(sub):
+                m = len(c.read_codes)
+                n = c.window_end - c.window_start
+                cigars.append(
+                    viterbi_traceback(bps[b], offsets[b], m, n, fstates[b])
+                )
+        else:
+            fb = forward_backward(batch, self.params)
+            dirs, _scores = mea_decode_batch(
+                fb, batch.offsets, batch.m, batch.n, cfg.band_width,
+                cfg.gap_gamma, cfg.match_gamma,
+            )
+            dirs = np.asarray(dirs)
+            for b, c in enumerate(sub):
+                m = len(c.read_codes)
+                n = c.window_end - c.window_start
+                cigars.append(mea_traceback(dirs[b], offsets[b], m, n))
         out = []
-        for b, c in enumerate(sub):
-            m = len(c.read_codes)
-            n = c.window_end - c.window_start
-            cigar = mea_traceback(dirs[b], offsets[b], m, n)
+        for c, cigar in zip(sub, cigars):
             rec = self._record_from_window_cigar(c, cigar, quals)
             if rec is not None:
                 out.append(rec)

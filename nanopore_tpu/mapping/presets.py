@@ -90,6 +90,19 @@ def _build_registry() -> dict[str, MapperSpec]:
                 post="realign_trained",
                 trained_model="blasr_hmm_%d.txt" % pct,
             )
+    # Viterbi fast-path family (no reference analogue by name: the
+    # single-pass max-product extension standing in for the reference
+    # aligners' own non-probabilistic extension DP; ~3x less device work
+    # than the MEA path)
+    from dataclasses import replace as _replace
+
+    viterbi_cfg = _replace(_BASE_CONFIGS["LastParams"], decode="viterbi")
+    for suffix, post in _POSTS.items():
+        name = "Viterbi" + suffix
+        trained = "blasr_hmm_0.txt" if post == "realign_trained" else None
+        registry[name] = MapperSpec(
+            name=name, config=viterbi_cfg, post=post, trained_model=trained
+        )
     # Combined mapper family (mappers/combinedMapper.py)
     combined_cfg = _BASE_CONFIGS["LastParams"]
     for suffix, post in _POSTS.items():

@@ -208,3 +208,67 @@ def em_expectations_full(
                 if i > 0 and yc[i - 1] < 4:
                     emis[s, yc[i - 1] :: 4] += gamma[s] / 4.0
     return trans, emis, loglik
+
+
+def viterbi_full(
+    xc: np.ndarray, yc: np.ndarray, p: PairHmmParams
+) -> tuple[float, list[tuple[int, int]]]:
+    """Unbanded log-space Viterbi: best state path -> (score, SAM cigar).
+
+    Max-product analogue of forward_full; the semantic specification for
+    the banded TPU Viterbi decode (nanopore_tpu.ops.viterbi), which is
+    the fast-mapper extension stage standing in for the reference's
+    non-probabilistic aligners (bwa/last/lastz/blasr extension).
+    """
+    from nanopore_tpu.io.sam import CIG
+
+    n, m = len(xc), len(yc)
+    v = np.full((m + 1, n + 1, NUM_STATES), NEG_INF)
+    bp = np.zeros((m + 1, n + 1, NUM_STATES), np.int8)
+    v[0, 0] = np.log(1.0 / NUM_STATES)
+    for i in range(m + 1):
+        for j in range(n + 1):
+            if i == 0 and j == 0:
+                continue
+            for s in range(NUM_STATES):
+                if s == MATCH:
+                    if i == 0 or j == 0:
+                        continue
+                    cand = v[i - 1, j - 1] + p.log_t[:, s]
+                    emit = p.log_e_match[xc[j - 1], yc[i - 1]]
+                elif s in DELETE_STATES:
+                    if j == 0:
+                        continue
+                    cand = v[i, j - 1] + p.log_t[:, s]
+                    emit = p.log_e_gap[s, xc[j - 1]]
+                else:
+                    if i == 0:
+                        continue
+                    cand = v[i - 1, j] + p.log_t[:, s]
+                    emit = p.log_e_gap[s, yc[i - 1]]
+                bp[i, j, s] = int(np.argmax(cand))
+                v[i, j, s] = emit + cand[bp[i, j, s]]
+    s = int(np.argmax(v[m, n]))
+    score = float(v[m, n, s])
+    ops: list[int] = []
+    i, j = m, n
+    while i > 0 or j > 0:
+        prev = int(bp[i, j, s])
+        if s == MATCH:
+            ops.append(CIG.M)
+            i, j = i - 1, j - 1
+        elif s in DELETE_STATES:
+            ops.append(CIG.D)
+            j -= 1
+        else:
+            ops.append(CIG.I)
+            i -= 1
+        s = prev
+    ops.reverse()
+    cigar: list[tuple[int, int]] = []
+    for op in ops:
+        if cigar and cigar[-1][0] == op:
+            cigar[-1] = (op, cigar[-1][1] + 1)
+        else:
+            cigar.append((op, 1))
+    return score, cigar

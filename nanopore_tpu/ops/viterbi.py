@@ -1,0 +1,164 @@
+"""Banded five-state pair-HMM Viterbi decode (the fast mapper path).
+
+Max-product twin of the forward scan in nanopore_tpu.ops.pairhmm: the
+same guide-following band and anti-diagonal wavefront, but log-space
+max/argmax instead of scaled sum — one pass plus a host traceback
+replaces forward + backward + MEA when only a best alignment is wanted.
+This is the TPU-native stand-in for the *extension* stage of the
+reference's non-probabilistic aligners (bwa mem / lastal / lastz /
+blasr sparse DP, reference ``nanopore/mappers/*.py``): roughly a 3x
+device-work cut versus the MEA path, with a calibrated score (the
+Viterbi log-likelihood) instead of an arbitrary integer scoring scheme.
+
+Backpointers are the only stored lattice: (K, 5, W) int8 — the argmax
+predecessor *state* per cell; the move geometry (diagonal / left / up)
+is implied by the destination state, so the host traceback needs nothing
+else.  Log space needs no per-diagonal rescaling: magnitudes only reach
+~|m + n| * max|log p|, far inside f32 range.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from nanopore_tpu.align.model import NUM_STATES
+from nanopore_tpu.io.sam import CIG
+from nanopore_tpu.ops.pairhmm import (
+    BandedBatch,
+    KernelParams,
+    SCAN_UNROLL,
+    _shift_sel,
+    _onehot5,
+    _valid_mask,
+)
+
+NEG = -1e30
+
+
+def _viterbi_scan_single(params: KernelParams, batch_elem):
+    """Viterbi over one read.
+
+    Returns (score, final_state, bp[K,5,W] int8) where bp[k-1, s, b] is
+    the argmax predecessor state of cell (diagonal k, band b, state s).
+    """
+    xc, yc, offsets, m, n, k_end, W = batch_elem
+    K = offsets.shape[0] - 1
+    log_t = jnp.log(jnp.maximum(params.t, 1e-37))
+    e_match = params.e_match_flat.reshape(5, 5)
+    e_gap = params.e_gap_flat.reshape(5, 5)
+
+    start = jnp.full((NUM_STATES, W), NEG, jnp.float32)
+    start = start.at[:, 0].set(np.log(1.0 / NUM_STATES).astype(np.float32))
+
+    def step(carry, xs):
+        prev, prevprev, score, fstate = carry
+        k, o_k, d1, d2, x_cur, y_cur = xs
+
+        oh_x = _onehot5(x_cur, W)
+        oh_y = _onehot5(y_cur, W)
+        le_m = jnp.log(jnp.maximum(((e_match @ oh_y) * oh_x).sum(axis=0), 1e-37))
+        lgx = jnp.log(jnp.maximum(e_gap @ oh_x, 1e-37))
+        lgy = jnp.log(jnp.maximum(e_gap @ oh_y, 1e-37))
+
+        diag_pred = _shift_sel(prevprev, d2, -1, 1, fill=NEG)
+        left_pred = _shift_sel(prev, d1 - 1, -1, 0, fill=NEG)
+        up_pred = _shift_sel(prev, d1, 0, 1, fill=NEG)
+
+        def best(pred, to):
+            cand = pred + log_t[:, to, None]  # (5, W)
+            return jnp.max(cand, axis=0), jnp.argmax(cand, axis=0)
+
+        vM, bM = best(diag_pred, 0)
+        vD1, bD1 = best(left_pred, 1)
+        vI1, bI1 = best(up_pred, 2)
+        vD2, bD2 = best(left_pred, 3)
+        vI2, bI2 = best(up_pred, 4)
+
+        new = jnp.stack(
+            [vM + le_m, vD1 + lgx[1], vI1 + lgy[2], vD2 + lgx[3], vI2 + lgy[4]]
+        )
+        valid = _valid_mask(k, o_k, m, n, W) > 0
+        new = jnp.where(valid[None, :], new, NEG)
+        bp = jnp.stack([bM, bD1, bI1, bD2, bI2]).astype(jnp.int8)
+
+        at_end = k == k_end
+        score = jnp.where(at_end, jnp.max(new[:, 0]), score)
+        fstate = jnp.where(at_end, jnp.argmax(new[:, 0]).astype(jnp.int32), fstate)
+        return (new, prev, score, fstate), bp
+
+    ks = jnp.arange(1, K + 1)
+    o_k = offsets[1:]
+    d1 = offsets[1:] - offsets[:-1]
+    o_km2 = jnp.concatenate([jnp.zeros((1,), jnp.int32), offsets[:-2]])
+    d2 = o_k - o_km2 - 1
+    xs = (ks, o_k, d1, d2, xc[1:], yc[1:])
+    init = (start, jnp.full((NUM_STATES, W), NEG, jnp.float32),
+            jnp.float32(NEG), jnp.int32(0))
+    (fin), bps = lax.scan(step, init, xs, unroll=SCAN_UNROLL)
+    return fin[2], fin[3], bps
+
+
+@functools.partial(jax.jit, static_argnames=("band_width",))
+def _viterbi_jit(params, xc, yc, offsets, m, n, k_end, band_width):
+    fn = lambda *elem: _viterbi_scan_single(params, (*elem, band_width))
+    return jax.vmap(fn)(xc, yc, offsets, m, n, k_end)
+
+
+def viterbi_decode_batch(batch: BandedBatch, params: KernelParams):
+    """Batched banded Viterbi.
+
+    Returns (scores (B,), final_states (B,), bps (B, K, 5, W) int8).
+    """
+    return _viterbi_jit(
+        params, batch.xc, batch.yc, batch.offsets,
+        batch.m, batch.n, batch.k_end, batch.band_width,
+    )
+
+
+def viterbi_traceback(
+    bp: np.ndarray,
+    offsets: np.ndarray,
+    m: int,
+    n: int,
+    final_state: int,
+) -> list[tuple[int, int]]:
+    """Host traceback: backpointers -> SAM cigar for the (m, n) lattice.
+
+    ``bp[k-1, s, b]`` = predecessor state of (diagonal k, band b, state
+    s); move geometry from the destination state (match: diagonal,
+    delete: ref-consuming, insert: read-consuming).
+    """
+    bp = np.asarray(bp)
+    offsets = np.asarray(offsets)
+    i, j = m, n
+    s = int(final_state)
+    ops: list[int] = []
+    while i > 0 or j > 0:
+        k = i + j
+        b = j - int(offsets[k])
+        assert 0 <= b < bp.shape[2], "traceback left the band"
+        prev = int(bp[k - 1, s, b])
+        if s == 0:
+            ops.append(CIG.M)
+            i -= 1
+            j -= 1
+        elif s in (1, 3):
+            ops.append(CIG.D)
+            j -= 1
+        else:
+            ops.append(CIG.I)
+            i -= 1
+        s = prev
+    ops.reverse()
+    cigar: list[tuple[int, int]] = []
+    for op in ops:
+        if cigar and cigar[-1][0] == op:
+            cigar[-1] = (op, cigar[-1][1] + 1)
+        else:
+            cigar.append((op, 1))
+    return cigar
