@@ -28,7 +28,7 @@ from nanopore_tpu.io.seqio import read_fasta_dict
 from nanopore_tpu.ops.pairhmm import (
     make_kernel_params,
     prepare_banded_batch,
-    forward_backward,
+    em_expectations,
     BandedBatch,
 )
 
@@ -44,6 +44,10 @@ class EmOptions:
     pseudocount: float = 1e-6
     convergence_tol: float = 1e-4  # relative loglik change to stop early
     use_mesh: bool = False  # shard over (dp, trial) when devices > 1
+    # checkpointed-backward segment length (diagonals): the E-step never
+    # stores the O(K) forward lattice, so memory is O(K/seg + seg) and
+    # long reads train at full batch (see ops.pairhmm.em_expectations)
+    remat_segment: int = 512
 
 
 @dataclass
@@ -114,7 +118,9 @@ def em_train(
             emis = np.zeros((5, 16))
             loglik = 0.0
             for batch in batches:
-                out = forward_backward(batch, params)
+                out = em_expectations(
+                    batch, params, segment_size=opts.remat_segment
+                )
                 trans += np.asarray(out["trans"], np.float64).sum(axis=0)
                 emis += np.asarray(out["emis"], np.float64).sum(axis=0)
                 loglik += float(np.asarray(out["loglik"]).sum())

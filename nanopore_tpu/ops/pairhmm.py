@@ -301,16 +301,13 @@ def _valid_mask(k, o_k, m, n, W):
 # --------------------------------------------------------------------- #
 # Forward
 # --------------------------------------------------------------------- #
-def _forward_scan_single(params: KernelParams, batch_elem, store_lattice: bool):
-    """Forward over one read. Returns (loglik, f_hat[K+1,5,W], lsf[K+1])."""
-    xc, yc, xn, yn, offsets, m, n, k_end, W = batch_elem
-    K = offsets.shape[0] - 1
+def _make_fwd_step(params: KernelParams, m, n, k_end, W: int,
+                   store_lattice: bool):
+    """The per-anti-diagonal forward step, shared by the full-lattice scan
+    and the segmented/rematerialised EM path."""
     t = params.t
     e_match = params.e_match_flat.reshape(5, 5)
     e_gap = params.e_gap_flat.reshape(5, 5)
-
-    start = jnp.full((NUM_STATES, W), 0.0, jnp.float32)
-    start = start.at[:, 0].set(1.0 / NUM_STATES)
 
     def step(carry, xs):
         prev, prevprev, ls1, ls2, loglik = carry
@@ -347,6 +344,22 @@ def _forward_scan_single(params: KernelParams, batch_elem, store_lattice: bool):
         )
         out = (new, ls_new) if store_lattice else None
         return (new, prev, ls_new, ls1, loglik), out
+
+    return step
+
+
+def _fwd_start(W: int) -> jax.Array:
+    start = jnp.full((NUM_STATES, W), 0.0, jnp.float32)
+    return start.at[:, 0].set(1.0 / NUM_STATES)
+
+
+def _forward_scan_single(params: KernelParams, batch_elem, store_lattice: bool):
+    """Forward over one read. Returns (loglik, f_hat[K+1,5,W], lsf[K+1])."""
+    xc, yc, xn, yn, offsets, m, n, k_end, W = batch_elem
+    K = offsets.shape[0] - 1
+
+    start = _fwd_start(W)
+    step = _make_fwd_step(params, m, n, k_end, W, store_lattice)
 
     ks = jnp.arange(1, K + 1)
     o_k = offsets[1:]
@@ -387,28 +400,14 @@ def forward_loglik(batch: BandedBatch, params: KernelParams) -> jax.Array:
 # --------------------------------------------------------------------- #
 # Forward-backward: posterior bands + EM expectations
 # --------------------------------------------------------------------- #
-def _forward_backward_single(params: KernelParams, batch_elem):
-    """Full fwd/bwd for one read.
-
-    Returns dict with:
-      loglik: scalar
-      gamma_match / gamma_del / gamma_ins: (K+1, W) posterior bands, where
-        entry [k, b] refers to lattice cell (i, j) = (k - j, offsets[k]+b)
-        i.e. aligned pair (readPos i-1, refPos j-1) for gamma_match.
-      trans: (5, 5) expected transition counts
-      emis:  (5, 16) expected emission counts
-    """
-    xc, yc, xn, yn, offsets, m, n, k_end, W = batch_elem
-    K = offsets.shape[0] - 1
+def _make_bwd_step(params: KernelParams, loglik, m, n, k_end, W: int,
+                   emit_gammas: bool):
+    """The per-anti-diagonal backward/EM step, shared by the full-lattice
+    scan and the segmented/rematerialised EM path."""
     t = params.t
     e_match = params.e_match_flat.reshape(5, 5)
     e_gap = params.e_gap_flat.reshape(5, 5)
 
-    loglik, f_all, lsf_all = _forward_scan_single(
-        params, batch_elem, store_lattice=True
-    )
-
-    # scan k from K down to 0
     def step(carry, xs):
         bnext, bnext2, lsb1, lsb2, trans, e16, edel, eins = carry
         k, o_k, d1n, d2n2, f_hat, lsf, x_next, y_next, x_cur, y_cur = xs
@@ -464,35 +463,32 @@ def _forward_backward_single(params: KernelParams, batch_elem):
             [oh4_y @ gamma[2], oh4_y @ gamma[4]]
         )
 
-        gamma_match = gamma[0]
-        gamma_del = gamma[1] + gamma[3]
-        gamma_ins = gamma[2] + gamma[4]
-
-        return (
-            (new, bnext, lsb_new, lsb1, trans, e16, edel, eins),
-            (gamma_match, gamma_del, gamma_ins),
+        out = (
+            (gamma[0], gamma[1] + gamma[3], gamma[2] + gamma[4])
+            if emit_gammas
+            else None
         )
+        return ((new, bnext, lsb_new, lsb1, trans, e16, edel, eins), out)
 
-    ks = jnp.arange(K, -1, -1)
-    o_k = offsets[::-1]
-    d1_all = jnp.diff(offsets)  # d1[k] = o[k]-o[k-1], index k-1
-    # d1(k+1) for k = K..0 -> 0 for k=K, else d1_all[k]
-    d1n = jnp.concatenate([jnp.zeros((1,), jnp.int32), d1_all[::-1]])
-    # d2(k+2) = o[k+2]-o[k]-1 for k=K..0 -> 0,0 then o[k+2]-o[k]-1
-    o2 = offsets
-    d2_full = o2[2:] - o2[:-2] - 1  # index k = 0..K-2 meaning d2 at (k+2)? no:
-    # d2_full[k] = o[k+2] - o[k] - 1, which is d2(k+2) evaluated at source k
-    d2n2 = jnp.concatenate(
-        [jnp.zeros((2,), jnp.int32), d2_full[::-1]]
-    )
-    f_rev = f_all[::-1]
-    lsf_rev = lsf_all[::-1]
-    xs = (
-        ks, o_k, d1n, d2n2, f_rev, lsf_rev,
-        xn[::-1], yn[::-1], xc[::-1], yc[::-1],
-    )
+    return step
 
-    init = (
+
+def _bwd_xs_arrays(offsets):
+    """Per-diagonal backward inputs in forward (k ascending) order.
+
+    d1n[k] = o[k+1] - o[k] (0 at k = K); d2n2[k] = o[k+2] - o[k] - 1
+    (0 for k >= K-1).  The backward scan consumes these reversed.
+    """
+    K = offsets.shape[0] - 1
+    d1_all = jnp.diff(offsets)
+    d1n = jnp.concatenate([d1_all, jnp.zeros((1,), jnp.int32)])
+    d2_full = offsets[2:] - offsets[:-2] - 1
+    d2n2 = jnp.concatenate([d2_full, jnp.zeros((2,), jnp.int32)])
+    return d1n, d2n2
+
+
+def _bwd_init(W: int):
+    return (
         jnp.zeros((NUM_STATES, W), jnp.float32),
         jnp.zeros((NUM_STATES, W), jnp.float32),
         0.0,
@@ -502,19 +498,55 @@ def _forward_backward_single(params: KernelParams, batch_elem):
         jnp.zeros((2, 4), jnp.float32),
         jnp.zeros((2, 4), jnp.float32),
     )
-    carry, gammas_rev = lax.scan(step, init, xs, unroll=SCAN_UNROLL)
-    _, _, _, _, trans, e16, edel, eins = carry
 
-    gamma_match = gammas_rev[0][::-1]
-    gamma_del = gammas_rev[1][::-1]
-    gamma_ins = gammas_rev[2][::-1]
 
+def _emis_from_parts(e16, edel, eins):
     emis = jnp.zeros((5, 16), jnp.float32)
     emis = emis.at[0].set(e16)
     emis = emis.at[1].set(jnp.repeat(edel[0] / 4.0, 4))
     emis = emis.at[3].set(jnp.repeat(edel[1] / 4.0, 4))
     emis = emis.at[2].set(jnp.tile(eins[0] / 4.0, 4))
     emis = emis.at[4].set(jnp.tile(eins[1] / 4.0, 4))
+    return emis
+
+
+def _forward_backward_single(params: KernelParams, batch_elem):
+    """Full fwd/bwd for one read.
+
+    Returns dict with:
+      loglik: scalar
+      gamma_match / gamma_del / gamma_ins: (K+1, W) posterior bands, where
+        entry [k, b] refers to lattice cell (i, j) = (k - j, offsets[k]+b)
+        i.e. aligned pair (readPos i-1, refPos j-1) for gamma_match.
+      trans: (5, 5) expected transition counts
+      emis:  (5, 16) expected emission counts
+    """
+    xc, yc, xn, yn, offsets, m, n, k_end, W = batch_elem
+    K = offsets.shape[0] - 1
+
+    loglik, f_all, lsf_all = _forward_scan_single(
+        params, batch_elem, store_lattice=True
+    )
+
+    # scan k from K down to 0
+    step = _make_bwd_step(params, loglik, m, n, k_end, W, emit_gammas=True)
+
+    ks = jnp.arange(K, -1, -1)
+    o_k = offsets[::-1]
+    d1n_fwd, d2n2_fwd = _bwd_xs_arrays(offsets)
+    xs = (
+        ks, o_k, d1n_fwd[::-1], d2n2_fwd[::-1], f_all[::-1], lsf_all[::-1],
+        xn[::-1], yn[::-1], xc[::-1], yc[::-1],
+    )
+
+    carry, gammas_rev = lax.scan(step, _bwd_init(W), xs, unroll=SCAN_UNROLL)
+    _, _, _, _, trans, e16, edel, eins = carry
+
+    gamma_match = gammas_rev[0][::-1]
+    gamma_del = gammas_rev[1][::-1]
+    gamma_ins = gammas_rev[2][::-1]
+
+    emis = _emis_from_parts(e16, edel, eins)
 
     return {
         "loglik": loglik,
@@ -544,6 +576,121 @@ def forward_backward(batch: BandedBatch, params: KernelParams) -> dict:
     return _forward_backward_jit(
         params, batch.xc, batch.yc, batch.xn, batch.yn, batch.offsets,
         batch.m, batch.n, batch.k_end, batch.band_width,
+    )
+
+
+# --------------------------------------------------------------------- #
+# Segmented / rematerialised EM expectations
+# --------------------------------------------------------------------- #
+def _em_expectations_single(params: KernelParams, batch_elem,
+                            segment_size: int):
+    """EM expectations with O(K/C + C) memory instead of O(K).
+
+    The full fwd/bwd stores the whole (K+1, 5, W) forward lattice —
+    ~96 MB for a 75 kb read at W=64, which caps EM batch sizes.  Here the
+    forward pass stores only one carry per C-diagonal segment; the
+    backward pass recomputes each segment's forward lattice from its
+    boundary carry just before consuming it (classic checkpointed-scan
+    rematerialisation, ~1.33x forward FLOPs).  Gammas are never
+    materialised — EM only needs the (5,5)+(5,16) accumulators.
+    """
+    xc, yc, xn, yn, offsets, m, n, k_end, W = batch_elem
+    K = offsets.shape[0] - 1
+    C = int(segment_size)
+    S = -(-K // C)
+    K_pad = S * C
+    pad = K_pad - K
+    if pad:
+        # diagonals past K are invalid everywhere (valid_mask zeroes
+        # them); constant offset extension keeps d1/d2 in range
+        offsets = jnp.concatenate(
+            [offsets, jnp.broadcast_to(offsets[-1], (pad,))]
+        )
+        pad_codes = jnp.full((pad, W), _PAD_SENTINEL, xc.dtype)
+        xc = jnp.concatenate([xc, pad_codes])
+        yc = jnp.concatenate([yc, pad_codes])
+        xn = jnp.concatenate([xn, pad_codes])
+        yn = jnp.concatenate([yn, pad_codes])
+
+    ks = jnp.arange(1, K_pad + 1)
+    o_k = offsets[1:]
+    d1 = offsets[1:] - offsets[:-1]
+    o_km2 = jnp.concatenate([jnp.zeros((1,), jnp.int32), offsets[:-2]])
+    d2 = o_k - o_km2 - 1
+    fxs = (ks, o_k, d1, d2, xc[1:], yc[1:])
+    seg = lambda a: a.reshape((S, C) + a.shape[1:])
+    fxs_seg = jax.tree_util.tree_map(seg, fxs)
+
+    fwd_nostore = _make_fwd_step(params, m, n, k_end, W, store_lattice=False)
+    fwd_store = _make_fwd_step(params, m, n, k_end, W, store_lattice=True)
+
+    def seg_fwd(carry, seg_xs):
+        out_carry, _ = lax.scan(fwd_nostore, carry, seg_xs,
+                                unroll=SCAN_UNROLL)
+        return out_carry, carry  # emit the segment's INCOMING carry
+
+    init = (_fwd_start(W), jnp.zeros((NUM_STATES, W), jnp.float32),
+            0.0, 0.0, 0.0)
+    fin_carry, boundaries = lax.scan(seg_fwd, init, fxs_seg)
+    loglik = fin_carry[4]
+
+    bwd_step = _make_bwd_step(params, loglik, m, n, k_end, W,
+                              emit_gammas=False)
+    d1n, d2n2 = _bwd_xs_arrays(offsets)
+    bxs = (ks, o_k, d1n[1:], d2n2[1:], xn[1:], yn[1:], xc[1:], yc[1:])
+    bxs_seg = jax.tree_util.tree_map(seg, bxs)
+
+    rev = lambda a: a[::-1]
+    fxs_rev = jax.tree_util.tree_map(rev, fxs_seg)
+    bxs_rev = jax.tree_util.tree_map(rev, bxs_seg)
+    bnd_rev = jax.tree_util.tree_map(rev, boundaries)
+
+    def seg_bwd(carry, seg_in):
+        fwd_carry_in, seg_bxs, seg_fxs = seg_in
+        _, (f_seg, lsf_seg) = lax.scan(fwd_store, fwd_carry_in, seg_fxs,
+                                       unroll=SCAN_UNROLL)
+        k_, o_, d1_, d2_, xn_, yn_, xc_, yc_ = seg_bxs
+        xs = (
+            k_[::-1], o_[::-1], d1_[::-1], d2_[::-1],
+            f_seg[::-1], lsf_seg[::-1],
+            xn_[::-1], yn_[::-1], xc_[::-1], yc_[::-1],
+        )
+        new_carry, _ = lax.scan(bwd_step, carry, xs, unroll=SCAN_UNROLL)
+        return new_carry, None
+
+    carry, _ = lax.scan(seg_bwd, _bwd_init(W), (bnd_rev, bxs_rev, fxs_rev))
+    # diagonal 0: forward value is the start tile at zero log-scale
+    xs0 = (jnp.int32(0), offsets[0], d1n[0], d2n2[0],
+           _fwd_start(W), jnp.float32(0.0), xn[0], yn[0], xc[0], yc[0])
+    carry, _ = bwd_step(carry, xs0)
+    _, _, _, _, trans, e16, edel, eins = carry
+    return {
+        "loglik": loglik,
+        "trans": trans,
+        "emis": _emis_from_parts(e16, edel, eins),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("band_width", "segment_size"))
+def _em_expectations_jit(params, xc, yc, xn, yn, offsets, m, n, k_end,
+                         band_width, segment_size):
+    fn = lambda *elem: _em_expectations_single(
+        params, (*elem, band_width), segment_size
+    )
+    return jax.vmap(fn)(xc, yc, xn, yn, offsets, m, n, k_end)
+
+
+def em_expectations(batch: BandedBatch, params: KernelParams,
+                    segment_size: int = 512) -> dict:
+    """Batched EM expectations via the rematerialised backward.
+
+    Same trans/emis/loglik as forward_backward (oracle-tested) without
+    the O(K) stored lattice or gamma outputs — use for Baum-Welch on
+    long reads / large batches.
+    """
+    return _em_expectations_jit(
+        params, batch.xc, batch.yc, batch.xn, batch.yn, batch.offsets,
+        batch.m, batch.n, batch.k_end, batch.band_width, int(segment_size),
     )
 
 

@@ -25,13 +25,13 @@ from nanopore_tpu.align.model import PairHmmModel
 from nanopore_tpu.ops.pairhmm import (
     BandedBatch,
     kernel_tables,
-    _forward_backward_single,
+    _em_expectations_single,
 )
 from nanopore_tpu.parallel.mesh import DP_AXIS, TRIAL_AXIS
 
 
 @functools.partial(
-    jax.jit, static_argnames=("band_width", "pseudocount")
+    jax.jit, static_argnames=("band_width", "pseudocount", "remat_segment")
 )
 def em_train_step(
     transitions,  # (T, 5, 5) per-trial
@@ -47,11 +47,18 @@ def em_train_step(
     weights,  # (B,) 0/1 mask for padding rows
     band_width: int,
     pseudocount: float = 1e-6,
+    remat_segment: int = 512,
 ):
-    """One EM iteration for all trials.  Returns (new_t, new_e, loglik(T,))."""
+    """One EM iteration for all trials.  Returns (new_t, new_e, loglik(T,)).
+
+    The E-step uses the checkpointed/rematerialised backward — no O(K)
+    stored lattice per read, so DP shards stay small in HBM.
+    """
 
     def one_pair(params, *elem):
-        out = _forward_backward_single(params, (*elem, band_width))
+        out = _em_expectations_single(
+            params, (*elem, band_width), remat_segment
+        )
         return out["trans"], out["emis"], out["loglik"]
 
     def one_trial(t, e):

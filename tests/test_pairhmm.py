@@ -246,3 +246,68 @@ class TestForwardBackwardOracle:
         got = np.asarray(forward_loglik(batch, kp))[0]
         _, want = oracle.forward_full(x, y, op)
         np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+class TestRematerialisedEm:
+    """em_expectations (segmented backward) vs full forward_backward."""
+
+    def _compare(self, pairs, params, band_width, segment_size):
+        from nanopore_tpu.ops.pairhmm import em_expectations
+
+        batch = prepare_banded_batch(pairs, band_width=band_width)
+        full = forward_backward(batch, params)
+        remat = em_expectations(batch, params, segment_size=segment_size)
+        np.testing.assert_allclose(
+            np.asarray(remat["loglik"]), np.asarray(full["loglik"]),
+            rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(remat["trans"]), np.asarray(full["trans"]),
+            rtol=2e-4, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(remat["emis"]), np.asarray(full["emis"]),
+            rtol=2e-4, atol=1e-6,
+        )
+
+    def test_segment_divides_k(self, model, params):
+        rng = np.random.default_rng(21)
+        x, y = simulate_pair(rng, model, length=20)
+        pairs = [(x, y, diagonal_guide(len(y), len(x)))]
+        K = len(x) + len(y)
+        self._compare(pairs, params, band_width=12, segment_size=K // 4)
+
+    def test_segment_not_dividing_k(self, model, params):
+        rng = np.random.default_rng(22)
+        x, y = simulate_pair(rng, model, length=23)
+        pairs = [(x, y, diagonal_guide(len(y), len(x)))]
+        self._compare(pairs, params, band_width=12, segment_size=7)
+
+    def test_batched_mixed_lengths(self, model, params):
+        rng = np.random.default_rng(23)
+        pairs = []
+        for t in range(3):
+            x, y = simulate_pair(rng, model, length=10 + 5 * t)
+            pairs.append((x, y, diagonal_guide(len(y), len(x))))
+        self._compare(pairs, params, band_width=16, segment_size=8)
+
+    def test_matches_dense_oracle(self, model, params, oracle_params):
+        from nanopore_tpu.ops.pairhmm import em_expectations
+
+        rng = np.random.default_rng(24)
+        x, y = simulate_pair(rng, model, length=12)
+        W = max(len(x), len(y)) + 2
+        batch = prepare_banded_batch(
+            [(x, y, diagonal_guide(len(y), len(x)))], band_width=W
+        )
+        remat = em_expectations(batch, params, segment_size=5)
+        trans, emis, loglik = oracle.em_expectations_full(x, y, oracle_params)
+        np.testing.assert_allclose(
+            np.asarray(remat["loglik"])[0], loglik, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(remat["trans"])[0], trans, rtol=1e-3, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(remat["emis"])[0], emis, rtol=1e-3, atol=1e-5
+        )
