@@ -1,25 +1,32 @@
-"""Pallas fused forward kernel for the banded pair-HMM.
+"""Pallas fused forward kernel for the banded pair-HMM (round 2).
 
-The XLA-scan kernel (ops/pairhmm.py) is latency-bound at ~5us per
-anti-diagonal step (while-loop dispatch overhead; the actual VPU work is
-~0.3us at B=128).  This kernel runs the whole diagonal loop inside one
-Pallas program: carries live in VMEM, band code chunks stream from HBM
-with double-buffered DMA, and the model tables + per-step shift deltas
-are scalar-prefetched into SMEM — removing the dispatch overhead
-entirely.
+The XLA-scan kernel (ops/pairhmm.py) is latency-bound: each anti-diagonal
+is one while-loop step (~us dispatch) while the actual VPU work per step
+is ~0.3us at B=128.  This kernel runs the whole diagonal loop inside one
+Pallas program so the only per-step costs are VPU ops and VMEM traffic.
 
-Mosaic-friendly construction notes:
+Round-2 design (fixes the round-1 findings recorded in CLAUDE.md):
+- band code chunks stream HBM->VMEM via the GRID (BlockSpec index_map),
+  so Mosaic double-buffers the DMA automatically — no in-kernel
+  make_async_copy/semaphore machinery;
+- x and y codes are PACKED into one int8 (x*8+y): half the HBM traffic;
+  unpacked in-kernel with shift/mask;
+- the diagonal loop is unrolled by 2 with two static ping-pong state
+  buffers (sA = even diagonals, sB = odd): no traced scratch slot
+  indices (round 1's dynamic-slot indexing lowered to a slow path);
+- rescaling happens every SECOND diagonal only, and the scale ratio for
+  the skipped step is carried directly as 1/safe — zero exp() calls and
+  one log() per two diagonals;
+- the log-likelihood accumulates in VMEM scratch and the output ref is
+  written once, in the last grid step (round 1 rewrote it every step).
+
+Mosaic-friendly construction kept from round 1:
 - no dot_general: emissions and transition sums are unrolled
-  scalar-times-vector FMAs over SMEM table entries (the tables are tiny:
-  25 + 36 + 30 scalars),
-- no scatter / jnp.pad: masks via broadcasted_iota, shifts via
-  pltpu.roll + edge masking,
+  scalar-times-vector FMAs over SMEM table entries,
+- no scatter / jnp.pad: masks via broadcasted_iota, band shifts via
+  pltpu.roll (shift >= 0) + edge masking,
 - per-state carries are separate (W, B) tiles — W on sublanes, B on
-  lanes, so (64, 128) f32 is exactly eight (8, 128) tiles and lane-dim
-  reductions/broadcasts stay in natural layouts,
-- DP state lives in ping-pong VMEM scratch, not fori_loop carries:
-  iota-derived carry inits get lane/sublane-replicated layouts that
-  Mosaic cannot unify with the loop body ("Invalid relayout" errors).
+  lanes.
 
 Validity is encoded in the codes themselves: out-of-lattice cells carry
 code 5, whose one-hot is zero, so every arrival emission vanishes — no
@@ -28,16 +35,7 @@ never re-enter it: i and j are non-decreasing along forward moves.)
 
 Forward-only (log-likelihood); the backward/EM path stays on the XLA
 kernel.  Requires uniform band geometry across the batch.  Oracle-tested
-against ops/pairhmm in interpret mode.
-
-STATUS: EXPERIMENTAL — correct in interpret mode, but the first
-hardware run measured ~4ms/step (dynamic-slot VMEM scratch indexing and
-per-step output-ref read-modify-write lower to slow paths) vs 0.4us/step
-for the tuned XLA scan, plus a numeric discrepancy to chase.  The XLA
-kernel (ops/pairhmm.py, 1.5 Gcells/s fwd at B=128) remains the
-production path; next iteration should unroll steps by 2 (static
-ping-pong slots), accumulate loglik in registers, and move code chunks
-in via the grid instead of in-kernel DMA.
+against ops/pairhmm in interpret mode (tests/test_pallas.py).
 """
 
 from __future__ import annotations
@@ -54,68 +52,55 @@ from jax.experimental.pallas import tpu as pltpu
 from nanopore_tpu.ops.pairhmm import BandedBatch, KernelParams
 
 NUM_STATES = 5
-CHUNK = 256  # diagonals per DMA chunk
+CHUNK = 256  # diagonals per grid step (must be even)
 
 
 def _kernel(
     # scalar-prefetch (SMEM)
-    d1_ref,  # (K_pad,) int32
-    d2_ref,  # (K_pad,) int32
+    d1_ref,  # (K_pad,) int32 band offset deltas o[k+1]-o[k]
+    d2_ref,  # (K_pad,) int32 o[k+1]-o[k-1]-1
     tf_ref,  # (25,) f32 transitions [from*5+to]
     emf_ref,  # (36,) f32 match emissions [x*6+y], rows/cols 5 zero
     egf_ref,  # (30,) f32 gap emissions [state*6+base], col 5 zero
-    # tensor inputs
+    # tensor inputs (grid-streamed / revisited)
     kend_ref,  # (1, B) int32 VMEM
-    xc_ref,  # (K_pad, W, B) int8 HBM
-    yc_ref,  # (K_pad, W, B) int8 HBM
+    xy_ref,  # (CHUNK, W, B) int8 VMEM block: packed codes x*8+y
     # outputs
     loglik_ref,  # (1, B) f32
     # scratch
-    xbuf,  # (2, CHUNK, W, B) int8 VMEM
-    ybuf,
-    state,  # (2, NUM_STATES, W, B) f32 ping-pong DP state
-    lsbuf,  # (2, 1, B) f32 running log-scales
-    sems,  # (2, 2) DMA semaphores
+    sA,  # (NUM_STATES, W, B) f32 even-diagonal state
+    sB,  # (NUM_STATES, W, B) f32 odd-diagonal state
+    ls_ref,  # (2, 1, B) f32: [0]=log-scale of sA, [1]=of sB
+    rs_ref,  # (1, B) f32: exp(ls_B - ls_A) = 1/safe of the last rescale
+    acc_ref,  # (1, B) f32 running log-likelihood
     *,
-    k_steps: int,
     B: int,
     W: int,
 ):
-    n_chunks = k_steps // CHUNK
-
-    def start_chunk_dma(slot, chunk_idx):
-        start = chunk_idx * CHUNK
-        pltpu.make_async_copy(
-            xc_ref.at[pl.ds(start, CHUNK)], xbuf.at[slot], sems.at[slot, 0]
-        ).start()
-        pltpu.make_async_copy(
-            yc_ref.at[pl.ds(start, CHUNK)], ybuf.at[slot], sems.at[slot, 1]
-        ).start()
-
-    def wait_chunk(slot, chunk_idx):
-        start = chunk_idx * CHUNK
-        pltpu.make_async_copy(
-            xc_ref.at[pl.ds(start, CHUNK)], xbuf.at[slot], sems.at[slot, 0]
-        ).wait()
-        pltpu.make_async_copy(
-            yc_ref.at[pl.ds(start, CHUNK)], ybuf.at[slot], sems.at[slot, 1]
-        ).wait()
-
-    start_chunk_dma(0, 0)
-
-    kend = kend_ref[:, :]  # (1, B) int32 — keep per-read values 2-D
+    c = pl.program_id(0)
+    n_chunks = pl.num_programs(0)
 
     row = lax.broadcasted_iota(jnp.int32, (W, B), 0)
+    zeros = jnp.zeros((W, B), jnp.float32)
+    zb = jnp.zeros((1, B), jnp.float32)
+    kend = kend_ref[:, :]  # (1, B)
 
-    def onehot6(codes):  # (W, B) int8 -> list of 6 (W, B) f32
-        c = codes.astype(jnp.int32)
-        return [(c == v).astype(jnp.float32) for v in range(6)]
+    @pl.when(c == 0)
+    def _init():
+        start_val = jnp.where(row == 0, 1.0 / NUM_STATES, 0.0)
+        for st in range(NUM_STATES):
+            sA[st] = start_val  # diagonal 0
+            sB[st] = zeros  # "diagonal -1"
+        ls_ref[0] = zb
+        ls_ref[1] = zb
+        rs_ref[:, :] = jnp.ones((1, B), jnp.float32)
+        acc_ref[:, :] = zb
 
     def shift_w(arr, s: int):
-        """result[w, .] = arr[w+s, .] with zero fill (roll + edge mask)."""
+        """result[w, :] = arr[w+s, :] with zero fill (roll needs s>=0)."""
         if s == 0:
             return arr
-        rolled = pltpu.roll(arr, (-s) % W, 0)  # roll requires shift >= 0
+        rolled = pltpu.roll(arr, (-s) % W, 0)
         if s > 0:
             return jnp.where(row < W - s, rolled, 0.0)
         return jnp.where(row >= -s, rolled, 0.0)
@@ -126,106 +111,119 @@ def _kernel(
             out = jnp.where(s == v, shift_w(arr, v), out)
         return out
 
-    start_val = jnp.where(row == 0, 1.0 / NUM_STATES, 0.0)
-    zeros = jnp.zeros((W, B), jnp.float32)
-    zb = jnp.zeros((1, B), jnp.float32)
+    def diag_step(k_new, xy, prev, prevprev, r, ls_cur, acc, rescale):
+        """One anti-diagonal.
 
-    # diagonal d lives in state slot d % 2; diag 0 = start, diag -1 = 0
-    for st in range(NUM_STATES):
-        state[0, st] = start_val
-        state[1, st] = zeros
-    lsbuf[0] = zb
-    lsbuf[1] = zb
-    loglik_ref[:, :] = zb
+        k_new: traced diagonal index being computed.
+        prev/prevprev: lists of 5 (W, B) tiles; r: (1, B) scale ratio
+        putting prevprev on prev's scale; ls_cur: (1, B) log-scale of
+        prev.  Returns (new_state(list), ls_new, safe_inv, acc).
+        """
+        d1 = d1_ref[k_new - 1]
+        d2 = d2_ref[k_new - 1]
+        xy32 = xy.astype(jnp.int32)
+        xv = xy32 >> 3
+        yv = xy32 & 7
+        oh_x = [(xv == v).astype(jnp.float32) for v in range(5)]
+        oh_y = [(yv == v).astype(jnp.float32) for v in range(5)]
 
-    def chunk_body(chunk_idx, _):
-        @pl.when(chunk_idx + 1 < n_chunks)
-        def _():
-            start_chunk_dma((chunk_idx + 1) % 2, chunk_idx + 1)
+        # emissions: unrolled scalar-FMA over SMEM tables
+        e_m = zeros
+        for a in range(5):
+            inner = zeros
+            for cc in range(5):
+                inner = inner + emf_ref[a * 6 + cc] * oh_y[cc]
+            e_m = e_m + oh_x[a] * inner
+        gx1 = zeros
+        gx3 = zeros
+        gy2 = zeros
+        gy4 = zeros
+        for cc in range(5):
+            gx1 = gx1 + egf_ref[1 * 6 + cc] * oh_x[cc]
+            gx3 = gx3 + egf_ref[3 * 6 + cc] * oh_x[cc]
+            gy2 = gy2 + egf_ref[2 * 6 + cc] * oh_y[cc]
+            gy4 = gy4 + egf_ref[4 * 6 + cc] * oh_y[cc]
 
-        slot = chunk_idx % 2
-        wait_chunk(slot, chunk_idx)
+        diag = [sel_shift(pp, d2, -1, 1) * r for pp in prevprev]
+        left = [sel_shift(pv, d1 - 1, -1, 0) for pv in prev]
+        up = [sel_shift(pv, d1, 0, 1) for pv in prev]
 
-        def step_body(t_idx, _):
-            k = chunk_idx * CHUNK + t_idx  # step k computes diagonal k+1
-            slot_prev = k % 2  # diag k
-            slot_new = (k + 1) % 2  # diag k+1, overwrites diag k-1
-            prev = [state[slot_prev, st] for st in range(NUM_STATES)]
-            prevprev = [state[slot_new, st] for st in range(NUM_STATES)]
-            ls1 = lsbuf[slot_prev]
-            ls2 = lsbuf[slot_new]
-            loglik = loglik_ref[:, :]
-            d1 = d1_ref[k]
-            d2 = d2_ref[k]
-            oh_x = onehot6(xbuf[slot, t_idx])
-            oh_y = onehot6(ybuf[slot, t_idx])
+        def trans_sum(preds, dest):
+            acc_t = tf_ref[0 * 5 + dest] * preds[0]
+            for s in range(1, NUM_STATES):
+                acc_t = acc_t + tf_ref[s * 5 + dest] * preds[s]
+            return acc_t
 
-            # emissions: unrolled scalar-FMA over SMEM tables
-            e_m = zeros
-            for a in range(5):  # row 5 of the table is zero
-                inner = zeros
-                for c in range(5):
-                    inner = inner + emf_ref[a * 6 + c] * oh_y[c]
-                e_m = e_m + oh_x[a] * inner
-            gx1 = zeros
-            gx3 = zeros
-            gy2 = zeros
-            gy4 = zeros
-            for c in range(5):
-                gx1 = gx1 + egf_ref[1 * 6 + c] * oh_x[c]
-                gx3 = gx3 + egf_ref[3 * 6 + c] * oh_x[c]
-                gy2 = gy2 + egf_ref[2 * 6 + c] * oh_y[c]
-                gy4 = gy4 + egf_ref[4 * 6 + c] * oh_y[c]
+        new = [
+            e_m * trans_sum(diag, 0),
+            gx1 * trans_sum(left, 1),
+            gy2 * trans_sum(up, 2),
+            gx3 * trans_sum(left, 3),
+            gy4 * trans_sum(up, 4),
+        ]
 
-            r = jnp.exp(jnp.clip(ls2 - ls1, -80.0, 80.0))  # (1, B)
-            diag = [
-                sel_shift(pp, d2, -1, 1) * r for pp in prevprev
-            ]
-            left = [sel_shift(pv, d1 - 1, -1, 0) for pv in prev]
-            up = [sel_shift(pv, d1, 0, 1) for pv in prev]
-
-            def trans_sum(preds, dest):
-                acc = tf_ref[0 * 5 + dest] * preds[0]
-                for s in range(1, NUM_STATES):
-                    acc = acc + tf_ref[s * 5 + dest] * preds[s]
-                return acc
-
-            new = [
-                e_m * trans_sum(diag, 0),
-                gx1 * trans_sum(left, 1),
-                gy2 * trans_sum(up, 2),
-                gx3 * trans_sum(left, 3),
-                gy4 * trans_sum(up, 4),
-            ]
-
+        if rescale:
             scale = jnp.max(new[0], axis=0, keepdims=True)
             for s in range(1, NUM_STATES):
                 scale = jnp.maximum(
                     scale, jnp.max(new[s], axis=0, keepdims=True)
                 )
-            safe = jnp.where(scale > 0, scale, 1.0)  # (1, B)
+            safe = jnp.where(scale > 0, scale, 1.0)
             inv = 1.0 / safe
             new = [arr * inv for arr in new]
-            ls_new = ls1 + jnp.log(safe)
+            ls_new = ls_cur + jnp.log(safe)
+            safe_inv = inv
+        else:
+            ls_new = ls_cur
+            safe_inv = None
 
-            # cell (m, n) sits at band index 0 of diagonal k_end
-            fin = zb
-            for s in range(NUM_STATES):
-                fin = fin + jnp.sum(
-                    jnp.where(row == 0, new[s], 0.0), axis=0, keepdims=True
-                )
-            is_end = (k + 1) == kend  # (1, B)
-            loglik_ref[:, :] = loglik + jnp.where(
-                is_end, jnp.log(jnp.maximum(fin, 1e-37)) + ls_new, 0.0
-            )
-            for st in range(NUM_STATES):
-                state[slot_new, st] = new[st]
-            lsbuf[slot_new] = ls_new
-            return 0
+        # cell (m, n) sits at band index 0 of diagonal k_end
+        fin = zb
+        for s in range(NUM_STATES):
+            fin = fin + new[s][0:1, :]
+        acc = acc + jnp.where(
+            k_new == kend, jnp.log(jnp.maximum(fin, 1e-37)) + ls_new, 0.0
+        )
+        return new, ls_new, safe_inv, acc
 
-        return lax.fori_loop(0, CHUNK, step_body, 0)
+    def pair_body(ip, _):
+        # diag k0 (even) is in sA; compute k0+1 into sB, k0+2 into sA
+        k0 = c * CHUNK + 2 * ip
+        t = 2 * ip
+        a = [sA[st] for st in range(NUM_STATES)]
+        b = [sB[st] for st in range(NUM_STATES)]
+        ls_a = ls_ref[0]
+        rs = rs_ref[:, :]
+        acc = acc_ref[:, :]
 
-    lax.fori_loop(0, n_chunks, chunk_body, 0)
+        # step 1: odd diagonal; prev=sA (scale ls_a), prevprev=sB whose
+        # scale is the pre-rescale ls_a, so r = 1/safe carried in rs
+        new_b, ls_b, _, acc = diag_step(
+            k0 + 1, xy_ref[t, :, :], a, b, rs, ls_a, acc, rescale=False
+        )
+        # step 2: even diagonal; prev=sB (scale ls_b==ls_a), prevprev=sA
+        # (same scale): r = 1.  Rescale here.
+        one = jnp.ones((1, B), jnp.float32)
+        new_a, ls_a2, inv, acc = diag_step(
+            k0 + 2, xy_ref[t + 1, :, :], new_b, a, one, ls_b, acc,
+            rescale=True,
+        )
+        # sB keeps pre-rescale scale ls_b = old ls_a; sA now ls_a2;
+        # next pair's prevprev ratio r = exp(ls_b - ls_a2) = 1/safe = inv
+        for st in range(NUM_STATES):
+            sB[st] = new_b[st]
+            sA[st] = new_a[st]
+        ls_ref[0] = ls_a2
+        ls_ref[1] = ls_b
+        rs_ref[:, :] = inv
+        acc_ref[:, :] = acc
+        return 0
+
+    lax.fori_loop(0, CHUNK // 2, pair_body, 0)
+
+    @pl.when(c == n_chunks - 1)
+    def _emit():
+        loglik_ref[:, :] = acc_ref[:, :]
 
 
 def prepare_pallas_forward(
@@ -254,10 +252,11 @@ def prepare_pallas_forward(
     xv = np.where(invalid | x_oor, 5, xc).astype(np.int8)
     yv = np.where(invalid | y_oor, 5, yc).astype(np.int8)
 
-    xk = np.full((k_pad, W, B), 5, np.int8)
-    yk = np.full((k_pad, W, B), 5, np.int8)
-    xk[:K] = np.transpose(xv[:, 1:, :], (1, 2, 0))
-    yk[:K] = np.transpose(yv[:, 1:, :], (1, 2, 0))
+    # pack x/y into one int8 stream: x*8+y (codes 0..5 each)
+    xyk = np.full((k_pad, W, B), (5 << 3) | 5, np.int8)
+    xyk[:K] = np.transpose(
+        (xv[:, 1:, :].astype(np.int16) << 3) | yv[:, 1:, :], (1, 2, 0)
+    ).astype(np.int8)
 
     d1 = np.zeros(k_pad, np.int32)
     d2 = np.zeros(k_pad, np.int32)
@@ -266,7 +265,7 @@ def prepare_pallas_forward(
     d2[:K] = offsets[0, 1:] - o_km2 - 1
 
     emf = np.zeros(36, np.float32)
-    emf[: 30] = np.pad(
+    emf[:30] = np.pad(
         np.asarray(params.e_match_flat).reshape(5, 5), ((0, 0), (0, 1))
     ).reshape(-1)
     egf = np.pad(
@@ -276,8 +275,7 @@ def prepare_pallas_forward(
     # the Pallas path requires a shared band geometry across the batch
     same = bool((offsets == offsets[0]).all())
     return {
-        "xk": xk,
-        "yk": yk,
+        "xyk": xyk,
         "d1": d1,
         "d2": d2,
         "tf": np.asarray(params.t).reshape(-1).astype(np.float32),
@@ -295,24 +293,31 @@ def prepare_pallas_forward(
     jax.jit, static_argnames=("k_steps", "B", "W", "interpret")
 )
 def _pallas_forward_call(
-    d1, d2, tf, emf, egf, kend, xk, yk, k_steps, B, W, interpret=False
+    d1, d2, tf, emf, egf, kend, xyk, k_steps, B, W, interpret=False
 ):
-    kernel = functools.partial(_kernel, k_steps=k_steps, B=B, W=W)
+    kernel = functools.partial(_kernel, B=B, W=W)
+    n_chunks = k_steps // CHUNK
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(1,),
+        grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # kend
-            pl.BlockSpec(memory_space=pltpu.ANY),  # xc (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # yc (HBM)
+            # kend: same tiny block revisited every step
+            pl.BlockSpec((1, B), lambda c, *_: (0, 0), memory_space=pltpu.VMEM),
+            # packed band codes: one CHUNK of diagonals per grid step,
+            # pipelined HBM->VMEM by Mosaic
+            pl.BlockSpec(
+                (CHUNK, W, B), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, B), lambda c, *_: (0, 0), memory_space=pltpu.VMEM
+        ),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, W, B), jnp.int8),
-            pltpu.VMEM((2, CHUNK, W, B), jnp.int8),
-            pltpu.VMEM((2, NUM_STATES, W, B), jnp.float32),
-            pltpu.VMEM((2, 1, B), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((NUM_STATES, W, B), jnp.float32),  # sA
+            pltpu.VMEM((NUM_STATES, W, B), jnp.float32),  # sB
+            pltpu.VMEM((2, 1, B), jnp.float32),  # ls
+            pltpu.VMEM((1, B), jnp.float32),  # rs
+            pltpu.VMEM((1, B), jnp.float32),  # acc
         ],
     )
     return pl.pallas_call(
@@ -320,7 +325,7 @@ def _pallas_forward_call(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
         interpret=interpret,
-    )(d1, d2, tf, emf, egf, kend, xk, yk)
+    )(d1, d2, tf, emf, egf, kend, xyk)
 
 
 def pallas_forward_loglik(
@@ -344,8 +349,7 @@ def pallas_forward_loglik(
         jnp.asarray(prep["emf"]),
         jnp.asarray(prep["egf"]),
         jnp.asarray(prep["kend"]),
-        jnp.asarray(prep["xk"]),
-        jnp.asarray(prep["yk"]),
+        jnp.asarray(prep["xyk"]),
         prep["k_steps"],
         prep["B"],
         prep["W"],
