@@ -64,7 +64,7 @@ def _kernel(
     egf_ref,  # (30,) f32 gap emissions [state*6+base], col 5 zero
     # tensor inputs (grid-streamed / revisited)
     kend_ref,  # (1, B) int32 VMEM
-    xy_ref,  # (CHUNK, W, B) int8 VMEM block: packed codes x*8+y
+    xy_ref,  # (2, W, B) int8 VMEM block: packed codes x*8+y, one PAIR
     # outputs
     loglik_ref,  # (1, B) f32
     # scratch
@@ -77,6 +77,9 @@ def _kernel(
     B: int,
     W: int,
 ):
+    # one grid step = one PAIR of anti-diagonals: all in-kernel indexing
+    # is static (round 1+2 found traced VMEM slice indices lower to a
+    # ~1000x slow path); Mosaic pipelines the (2, W, B) code blocks
     c = pl.program_id(0)
     n_chunks = pl.num_programs(0)
 
@@ -186,40 +189,35 @@ def _kernel(
         )
         return new, ls_new, safe_inv, acc
 
-    def pair_body(ip, _):
-        # diag k0 (even) is in sA; compute k0+1 into sB, k0+2 into sA
-        k0 = c * CHUNK + 2 * ip
-        t = 2 * ip
-        a = [sA[st] for st in range(NUM_STATES)]
-        b = [sB[st] for st in range(NUM_STATES)]
-        ls_a = ls_ref[0]
-        rs = rs_ref[:, :]
-        acc = acc_ref[:, :]
+    # diag k0 (even) is in sA; compute k0+1 into sB, k0+2 into sA
+    k0 = c * 2
+    a = [sA[st] for st in range(NUM_STATES)]
+    b = [sB[st] for st in range(NUM_STATES)]
+    ls_a = ls_ref[0]
+    rs = rs_ref[:, :]
+    acc = acc_ref[:, :]
 
-        # step 1: odd diagonal; prev=sA (scale ls_a), prevprev=sB whose
-        # scale is the pre-rescale ls_a, so r = 1/safe carried in rs
-        new_b, ls_b, _, acc = diag_step(
-            k0 + 1, xy_ref[t, :, :], a, b, rs, ls_a, acc, rescale=False
-        )
-        # step 2: even diagonal; prev=sB (scale ls_b==ls_a), prevprev=sA
-        # (same scale): r = 1.  Rescale here.
-        one = jnp.ones((1, B), jnp.float32)
-        new_a, ls_a2, inv, acc = diag_step(
-            k0 + 2, xy_ref[t + 1, :, :], new_b, a, one, ls_b, acc,
-            rescale=True,
-        )
-        # sB keeps pre-rescale scale ls_b = old ls_a; sA now ls_a2;
-        # next pair's prevprev ratio r = exp(ls_b - ls_a2) = 1/safe = inv
-        for st in range(NUM_STATES):
-            sB[st] = new_b[st]
-            sA[st] = new_a[st]
-        ls_ref[0] = ls_a2
-        ls_ref[1] = ls_b
-        rs_ref[:, :] = inv
-        acc_ref[:, :] = acc
-        return 0
-
-    lax.fori_loop(0, CHUNK // 2, pair_body, 0)
+    # step 1: odd diagonal; prev=sA (scale ls_a), prevprev=sB whose
+    # scale is the pre-rescale ls_a, so r = 1/safe carried in rs
+    new_b, ls_b, _, acc = diag_step(
+        k0 + 1, xy_ref[0, :, :], a, b, rs, ls_a, acc, rescale=False
+    )
+    # step 2: even diagonal; prev=sB (scale ls_b==ls_a), prevprev=sA
+    # (same scale): r = 1.  Rescale here.
+    one = jnp.ones((1, B), jnp.float32)
+    new_a, ls_a2, inv, acc = diag_step(
+        k0 + 2, xy_ref[1, :, :], new_b, a, one, ls_b, acc,
+        rescale=True,
+    )
+    # sB keeps pre-rescale scale ls_b = old ls_a; sA now ls_a2;
+    # next pair's prevprev ratio r = exp(ls_b - ls_a2) = 1/safe = inv
+    for st in range(NUM_STATES):
+        sB[st] = new_b[st]
+        sA[st] = new_a[st]
+    ls_ref[0] = ls_a2
+    ls_ref[1] = ls_b
+    rs_ref[:, :] = inv
+    acc_ref[:, :] = acc
 
     @pl.when(c == n_chunks - 1)
     def _emit():
@@ -296,17 +294,17 @@ def _pallas_forward_call(
     d1, d2, tf, emf, egf, kend, xyk, k_steps, B, W, interpret=False
 ):
     kernel = functools.partial(_kernel, B=B, W=W)
-    n_chunks = k_steps // CHUNK
+    n_pairs = k_steps // 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(n_chunks,),
+        grid=(n_pairs,),
         in_specs=[
             # kend: same tiny block revisited every step
             pl.BlockSpec((1, B), lambda c, *_: (0, 0), memory_space=pltpu.VMEM),
-            # packed band codes: one CHUNK of diagonals per grid step,
+            # packed band codes: one PAIR of diagonals per grid step,
             # pipelined HBM->VMEM by Mosaic
             pl.BlockSpec(
-                (CHUNK, W, B), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM
+                (2, W, B), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(

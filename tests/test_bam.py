@@ -226,3 +226,23 @@ class TestAssemblyHubBam:
         assert rec.qname == "r1" and rec.rname == "chr1"
         with open(os.path.join(genome_dir, "trackDb.txt")) as fh:
             assert ".bam" in fh.read()
+
+
+class TestCliBam:
+    def test_sam2bam_bam2sam_roundtrip(self, tmp_path, capsys):
+        from nanopore_tpu.cli import main as cli_main
+        from nanopore_tpu.io.sam import sam_records
+
+        sam = str(tmp_path / "x.sam")
+        with SamWriter(sam, {"chr1": 100000}) as w:
+            for i in [4, 2, 8]:
+                w.write(make_record("r%d" % i, pos=i * 100))
+        bam = str(tmp_path / "x.bam")
+        assert cli_main(["sam2bam", sam, "-o", bam]) == 0
+        import os
+        assert os.path.exists(bam) and os.path.exists(bam + ".bai")
+        sam2 = str(tmp_path / "back.sam")
+        assert cli_main(["bam2sam", bam, "-o", sam2]) == 0
+        got = sam_records(sam2)
+        assert [r.qname for r in got] == ["r2", "r4", "r8"]  # sorted
+        assert all(r.cigar == make_record().cigar for r in got)
