@@ -47,13 +47,15 @@ def main() -> int:
     from nanopore_tpu.ops.pairhmm import (
         make_kernel_params,
         prepare_banded_batch,
-        forward_backward,
     )
-    from nanopore_tpu.ops.mea import mea_decode_batch
+    from nanopore_tpu.ops.mea import realign_fused
 
     BASELINE_CELLS_PER_SEC = 2.0e7  # single-core C cactus_realign estimate
 
-    B, L, W = 128, 5_000, 64
+    # the fused realign path stores no lattice, so the batch can be large
+    # (the anti-diagonal scan is latency-bound: throughput ~ batch size)
+    B = int(os.environ.get("NANOPORE_TPU_BENCH_B", "512"))
+    L, W = 5_000, 64
     rng = np.random.default_rng(0)
     model = PairHmmModel.load("nanopore_tpu/models/blasr_hmm_0.txt")
     params = make_kernel_params(model)
@@ -77,14 +79,15 @@ def main() -> int:
     )
 
     def run_once():
-        fb = forward_backward(batch, params)
-        dirs, scores = mea_decode_batch(
-            fb, batch.offsets, batch.m, batch.n, W
-        )
-        # force full materialisation (remote runtimes may no-op
+        # full cactus_realign equivalent per read: forward + backward +
+        # MEA redecode, via the fused rematerialised kernel (no stored
+        # lattice); direction bands stay on device — traceback is
+        # pipelined host work in production
+        out = realign_fused(batch, params)
+        # force materialisation (remote runtimes may no-op
         # block_until_ready)
-        return float(np.asarray(fb["loglik"]).sum()) + float(
-            np.asarray(scores).sum()
+        return float(np.asarray(out["loglik"]).sum()) + float(
+            np.asarray(out["score"]).sum()
         )
 
     run_once()  # compile + warm

@@ -27,7 +27,13 @@ from nanopore_tpu.ops.pairhmm import (
     prepare_banded_batch,
     forward_backward,
 )
-from nanopore_tpu.ops.mea import mea_decode_batch, mea_traceback, rescore_by_posterior
+from nanopore_tpu.ops.mea import (
+    mea_decode_batch,
+    mea_traceback,
+    mea_traceback_fwd,
+    realign_fused,
+    rescore_by_posterior,
+)
 
 
 def _next_pow2(x: int) -> int:
@@ -79,23 +85,38 @@ def realign_records(
                 n_pad_to=n_pad,
                 m_pad_to=m_pad,
             )
-            fb = forward_backward(batch, params)
-            dirs, _ = mea_decode_batch(
-                fb, batch.offsets, batch.m, batch.n, band_width,
-                gap_gamma, match_gamma,
-            )
-            dirs_np = np.asarray(dirs)
             offs_np = np.asarray(batch.offsets)
-            gm_np = np.asarray(fb["gamma_match"]) if rescore else None
-            for b, idx in enumerate(sub):
-                rec = records[idx]
-                m = len(rec.seq)
-                n = len(ref_seqs[rec.rname])
-                new_cigar = mea_traceback(dirs_np[b], offs_np[b], m, n)
-                rec.cigar = new_cigar
-                if rescore:
+            if rescore:
+                # two-pass path: the rescore consumes the posterior band
+                fb = forward_backward(batch, params)
+                dirs, _ = mea_decode_batch(
+                    fb, batch.offsets, batch.m, batch.n, band_width,
+                    gap_gamma, match_gamma,
+                )
+                dirs_np = np.asarray(dirs)
+                gm_np = np.asarray(fb["gamma_match"])
+                for b, idx in enumerate(sub):
+                    rec = records[idx]
+                    m = len(rec.seq)
+                    n = len(ref_seqs[rec.rname])
+                    new_cigar = mea_traceback(dirs_np[b], offs_np[b], m, n)
+                    rec.cigar = new_cigar
                     scores[idx] = rescore_by_posterior(
                         gm_np[b], offs_np[b], new_cigar
+                    )
+            else:
+                # fused rematerialised path: no stored lattice / gamma
+                # bands, so realign batches scale (ops/mea.realign_fused)
+                fused = realign_fused(
+                    batch, params, gap_gamma, match_gamma
+                )
+                dirs_np = np.asarray(fused["dirs"])
+                for b, idx in enumerate(sub):
+                    rec = records[idx]
+                    m = len(rec.seq)
+                    n = len(ref_seqs[rec.rname])
+                    rec.cigar = mea_traceback_fwd(
+                        dirs_np[b], offs_np[b], m, n
                     )
     return scores if rescore else []
 

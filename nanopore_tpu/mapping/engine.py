@@ -26,9 +26,8 @@ from nanopore_tpu.mapping.chain import merge_hits_to_anchors, chain_anchors, Cha
 from nanopore_tpu.ops.pairhmm import (
     make_kernel_params,
     prepare_banded_batch,
-    forward_backward,
 )
-from nanopore_tpu.ops.mea import mea_decode_batch, mea_traceback
+from nanopore_tpu.ops.mea import mea_traceback_fwd, realign_fused
 
 
 def _next_pow2(x: int) -> int:
@@ -232,16 +231,16 @@ class MappingEngine:
                     viterbi_traceback(bps[b], offsets[b], m, n, fstates[b])
                 )
         else:
-            fb = forward_backward(batch, self.params)
-            dirs, _scores = mea_decode_batch(
-                fb, batch.offsets, batch.m, batch.n, cfg.band_width,
-                cfg.gap_gamma, cfg.match_gamma,
+            # fused remat fwd/bwd + reverse-MEA: no stored lattice, so
+            # extension batches scale (ops/mea.realign_fused)
+            fused = realign_fused(
+                batch, self.params, cfg.gap_gamma, cfg.match_gamma
             )
-            dirs = np.asarray(dirs)
+            dirs = np.asarray(fused["dirs"])
             for b, c in enumerate(sub):
                 m = len(c.read_codes)
                 n = c.window_end - c.window_start
-                cigars.append(mea_traceback(dirs[b], offsets[b], m, n))
+                cigars.append(mea_traceback_fwd(dirs[b], offsets[b], m, n))
         out = []
         for c, cigar in zip(sub, cigars):
             rec = self._record_from_window_cigar(c, cigar, quals)

@@ -197,3 +197,227 @@ def rescore_by_posterior(
         elif op in (CIG.D, CIG.N):
             j += length
     return total / count if count else float("nan")
+
+
+# --------------------------------------------------------------------- #
+# Fused rematerialised realign: forward + backward + reverse-MEA in one
+# pass with O(K/C + C) memory (no stored lattice, no gamma bands)
+# --------------------------------------------------------------------- #
+def _realign_fused_single(params, batch_elem, gap_gamma, match_gamma,
+                          segment_size: int):
+    """One read: remat fwd/bwd with the MEA DP fused into the backward.
+
+    The MEA DP normally consumes the (K+1, W) posterior bands AFTER the
+    backward pass (mea_decode_batch) — storing 3 f32 bands plus the
+    (K+1, 5, W) forward lattice, ~20 MB per 10 kb read.  Running MEA as a
+    REVERSE DP (best score from each cell to (m, n)) inside the backward
+    scan consumes each diagonal's posteriors the moment they exist, so
+    the only O(K) array that survives is the (K+1, W) int8 direction
+    band.  Memory per read drops ~25x, which is what lets realignment
+    batches scale into the thousands (the scan is latency-bound, so
+    throughput is ~linear in batch).
+
+    Returns dict(loglik, trans, emis, score, dirs(K+1, W) int8) — dirs
+    point FORWARD (traceback with mea_traceback_fwd from (0, 0)).
+    """
+    import jax
+    from nanopore_tpu.ops.pairhmm import (
+        NUM_STATES,
+        SCAN_UNROLL,
+        _PAD_SENTINEL,
+        _bwd_init,
+        _bwd_xs_arrays,
+        _emis_from_parts,
+        _fwd_start,
+        _make_bwd_step,
+        _make_fwd_step,
+        _valid_mask,
+    )
+
+    xc, yc, xn, yn, offsets, m, n, k_end, W = batch_elem
+    K = offsets.shape[0] - 1
+    C = int(segment_size)
+    S = -(-K // C)
+    K_pad = S * C
+    pad = K_pad - K
+    if pad:
+        offsets = jnp.concatenate(
+            [offsets, jnp.broadcast_to(offsets[-1], (pad,))]
+        )
+        pad_codes = jnp.full((pad, W), _PAD_SENTINEL, xc.dtype)
+        xc = jnp.concatenate([xc, pad_codes])
+        yc = jnp.concatenate([yc, pad_codes])
+        xn = jnp.concatenate([xn, pad_codes])
+        yn = jnp.concatenate([yn, pad_codes])
+
+    ks = jnp.arange(1, K_pad + 1)
+    o_k = offsets[1:]
+    d1 = offsets[1:] - offsets[:-1]
+    o_km2 = jnp.concatenate([jnp.zeros((1,), jnp.int32), offsets[:-2]])
+    d2 = o_k - o_km2 - 1
+    fxs = (ks, o_k, d1, d2, xc[1:], yc[1:])
+    seg = lambda a: a.reshape((S, C) + a.shape[1:])
+    fxs_seg = jax.tree_util.tree_map(seg, fxs)
+
+    fwd_nostore = _make_fwd_step(params, m, n, k_end, W, store_lattice=False)
+    fwd_store = _make_fwd_step(params, m, n, k_end, W, store_lattice=True)
+
+    def seg_fwd(carry, seg_xs):
+        out_carry, _ = lax.scan(fwd_nostore, carry, seg_xs,
+                                unroll=SCAN_UNROLL)
+        return out_carry, carry
+
+    init = (_fwd_start(W), jnp.zeros((NUM_STATES, W), jnp.float32),
+            0.0, 0.0, 0.0)
+    fin_carry, boundaries = lax.scan(seg_fwd, init, fxs_seg)
+    loglik = fin_carry[4]
+
+    bwd_step = _make_bwd_step(params, loglik, m, n, k_end, W,
+                              emit_gammas=True)
+    gg = jnp.float32(gap_gamma)
+    mg = jnp.float32(match_gamma)
+    end_u = jnp.full((W,), NEG, jnp.float32).at[0].set(0.0)
+
+    def fused_step(carry, xs):
+        bcarry, u1, u2, gm1, gm2, gd1, gi1 = carry
+        k, o_kk, d1n, d2n2 = xs[0], xs[1], xs[2], xs[3]
+        bcarry, (g_m, g_d, g_i) = bwd_step(bcarry, xs)
+
+        # reverse MEA: moves out of diagonal k into k+1 / k+2, gains at
+        # the DESTINATION cell; shift geometry identical to the backward
+        # kernel's destination alignment
+        diag_t = _shift_sel(u2 + gm2 - mg, -d2n2, -1, 1, NEG)
+        left_t = _shift_sel(u1 + gg * gd1, 1 - d1n, 0, 1, NEG)
+        up_t = _shift_sel(u1 + gg * gi1, -d1n, -1, 0, NEG)
+        stacked = jnp.stack([diag_t, left_t, up_t])  # tie-break priority
+        best = jnp.max(stacked, axis=0)
+        choice = jnp.argmax(stacked, axis=0).astype(jnp.int8)
+
+        valid = _valid_mask(k, o_kk, m, n, W) > 0
+        best = jnp.where(valid, best, NEG)
+        is_end = k == k_end
+        new_u = jnp.where(is_end, end_u, best)
+        choice = jnp.where(
+            valid & (new_u > NEG / 2) & jnp.logical_not(is_end),
+            choice, jnp.int8(DIR_NONE),
+        )
+        new_carry = (bcarry, new_u, u1, g_m, gm1, g_d, g_i)
+        return new_carry, choice
+
+    d1n, d2n2 = _bwd_xs_arrays(offsets)
+    bxs = (ks, o_k, d1n[1:], d2n2[1:], xn[1:], yn[1:], xc[1:], yc[1:])
+    bxs_seg = jax.tree_util.tree_map(seg, bxs)
+
+    rev = lambda a: a[::-1]
+    fxs_rev = jax.tree_util.tree_map(rev, fxs_seg)
+    bxs_rev = jax.tree_util.tree_map(rev, bxs_seg)
+    bnd_rev = jax.tree_util.tree_map(rev, boundaries)
+
+    def seg_bwd(carry, seg_in):
+        fwd_carry_in, seg_bxs, seg_fxs = seg_in
+        _, (f_seg, lsf_seg) = lax.scan(fwd_store, fwd_carry_in, seg_fxs,
+                                       unroll=SCAN_UNROLL)
+        k_, o_, d1_, d2_, xn_, yn_, xc_, yc_ = seg_bxs
+        xs = (
+            k_[::-1], o_[::-1], d1_[::-1], d2_[::-1],
+            f_seg[::-1], lsf_seg[::-1],
+            xn_[::-1], yn_[::-1], xc_[::-1], yc_[::-1],
+        )
+        new_carry, dirs_seg = lax.scan(fused_step, carry, xs,
+                                       unroll=SCAN_UNROLL)
+        return new_carry, dirs_seg
+
+    zw = jnp.zeros((W,), jnp.float32)
+    mea_init = (jnp.full((W,), NEG, jnp.float32),
+                jnp.full((W,), NEG, jnp.float32), zw, zw, zw, zw)
+    carry, dirs_rev = lax.scan(
+        seg_bwd, (_bwd_init(W),) + mea_init, (bnd_rev, bxs_rev, fxs_rev)
+    )
+    # final step: diagonal 0 (f = start tile at zero log-scale)
+    xs0 = (jnp.int32(0), offsets[0], d1n[0], d2n2[0],
+           _fwd_start(W), jnp.float32(0.0), xn[0], yn[0], xc[0], yc[0])
+    carry, choice0 = fused_step(carry, xs0)
+    bcarry, u0 = carry[0], carry[1]
+    _, _, _, _, trans, e16, edel, eins = bcarry
+
+    # dirs_rev: (S, C, W), segment-major with diagonals descending
+    dirs_desc = dirs_rev.reshape(S * C, W)  # diagonals K_pad .. 1
+    dirs_full = jnp.concatenate(
+        [choice0[None], dirs_desc[::-1]], axis=0
+    )  # index = diagonal
+    return {
+        "loglik": loglik,
+        "trans": trans,
+        "emis": _emis_from_parts(e16, edel, eins),
+        "score": u0[0],
+        "dirs": dirs_full[: K + 1],
+    }
+
+
+@functools.partial(
+    jax.jit, static_argnames=("band_width", "segment_size")
+)
+def _realign_fused_jit(params, xc, yc, xn, yn, offsets, m, n, k_end,
+                       gap_gamma, match_gamma, band_width, segment_size):
+    fn = lambda *elem: _realign_fused_single(
+        params, (*elem, band_width), gap_gamma, match_gamma, segment_size
+    )
+    return jax.vmap(fn)(xc, yc, xn, yn, offsets, m, n, k_end)
+
+
+def realign_fused(batch, params, gap_gamma: float = 0.5,
+                  match_gamma: float = 0.0,
+                  segment_size: int = 512) -> dict:
+    """Batched fused realign: loglik/trans/emis/score/dirs per read.
+
+    Same decode objective as forward_backward + mea_decode_batch but
+    without the O(K) stored lattice or posterior bands; dirs point
+    forward (use mea_traceback_fwd).
+    """
+    return _realign_fused_jit(
+        params, batch.xc, batch.yc, batch.xn, batch.yn, batch.offsets,
+        batch.m, batch.n, batch.k_end,
+        jnp.float32(gap_gamma), jnp.float32(match_gamma),
+        batch.band_width, int(segment_size),
+    )
+
+
+def mea_traceback_fwd(
+    dirs: np.ndarray, offsets: np.ndarray, m: int, n: int
+) -> list[tuple[int, int]]:
+    """Host traceback of FORWARD direction codes (realign_fused) into a
+    global SAM cigar consuming exactly m read / n ref bases."""
+    dirs = np.asarray(dirs)
+    offsets = np.asarray(offsets)
+    i = j = 0
+    ops: list[int] = []
+    W = dirs.shape[1]
+    while i < m or j < n:
+        k = i + j
+        b = j - offsets[k]
+        d = dirs[k, b] if 0 <= b < W else DIR_NONE
+        if d == DIR_DIAG and i < m and j < n:
+            ops.append(CIG.M)
+            i += 1
+            j += 1
+        elif d == DIR_DEL and j < n:
+            ops.append(CIG.D)
+            j += 1
+        elif d == DIR_INS and i < m:
+            ops.append(CIG.I)
+            i += 1
+        else:
+            # off-band / degenerate fallback: consume what's left
+            if j < n:
+                ops.append(CIG.D)
+                j += 1
+            else:
+                ops.append(CIG.I)
+                i += 1
+    cigar: list[tuple[int, int]] = []
+    for op in ops:
+        if cigar and cigar[-1][0] == op:
+            cigar[-1] = (op, cigar[-1][1] + 1)
+        else:
+            cigar.append((op, 1))
+    return cigar

@@ -311,3 +311,73 @@ class TestRematerialisedEm:
         np.testing.assert_allclose(
             np.asarray(remat["emis"])[0], emis, rtol=1e-3, atol=1e-5
         )
+
+
+class TestFusedRealign:
+    """realign_fused (remat fwd/bwd + reverse-MEA) vs the two-pass path."""
+
+    def _cases(self, model, seed, count=4, base_len=12):
+        rng = np.random.default_rng(seed)
+        pairs = []
+        for t in range(count):
+            x, y = simulate_pair(rng, model, length=base_len + 3 * t)
+            pairs.append((x, y, diagonal_guide(len(y), len(x))))
+        return pairs
+
+    def test_matches_two_pass(self, model, params):
+        from nanopore_tpu.ops.mea import (
+            mea_decode_batch,
+            mea_traceback,
+            mea_traceback_fwd,
+            realign_fused,
+        )
+
+        pairs = self._cases(model, 31)
+        batch = prepare_banded_batch(pairs, band_width=16)
+        fb = forward_backward(batch, params)
+        dirs_b, scores_b = mea_decode_batch(
+            fb, batch.offsets, batch.m, batch.n, 16
+        )
+        fused = realign_fused(batch, params, segment_size=8)
+        np.testing.assert_allclose(
+            np.asarray(fused["loglik"]), np.asarray(fb["loglik"]), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused["trans"]), np.asarray(fb["trans"]),
+            rtol=2e-4, atol=1e-6,
+        )
+        offsets = np.asarray(batch.offsets)
+        k_end = np.asarray(batch.k_end)
+        for b, (x, y, _) in enumerate(pairs):
+            m, n = len(y), len(x)
+            if k_end[b] == batch.k_max:
+                # two-pass score is only meaningful for unpadded reads
+                # (mea.py: "for batch-padded reads the caller ignores it");
+                # the fused score is valid for every read
+                np.testing.assert_allclose(
+                    float(fused["score"][b]), float(scores_b[b]),
+                    rtol=1e-4, atol=1e-4,
+                )
+            want = mea_traceback(np.asarray(dirs_b)[b], offsets[b], m, n)
+            got = mea_traceback_fwd(
+                np.asarray(fused["dirs"])[b], offsets[b], m, n
+            )
+            # identical optimum; identical path when gammas are generic
+            from nanopore_tpu.io.sam import cigar_to_string
+
+            assert cigar_to_string(got) == cigar_to_string(want)
+
+    def test_cigar_global_invariant(self, model, params):
+        from nanopore_tpu.ops.mea import mea_traceback_fwd, realign_fused
+
+        pairs = self._cases(model, 33, count=3, base_len=20)
+        batch = prepare_banded_batch(pairs, band_width=10)
+        fused = realign_fused(batch, params, segment_size=16)
+        offsets = np.asarray(batch.offsets)
+        for b, (x, y, _) in enumerate(pairs):
+            m, n = len(y), len(x)
+            cigar = mea_traceback_fwd(
+                np.asarray(fused["dirs"])[b], offsets[b], m, n
+            )
+            assert sum(l for op, l in cigar if op in (CIG.M, CIG.I)) == m
+            assert sum(l for op, l in cigar if op in (CIG.M, CIG.D)) == n
