@@ -1,32 +1,37 @@
-"""Pallas fused forward kernel for the banded pair-HMM (round 2).
+"""Pallas fused forward kernel for the banded pair-HMM (round 3).
 
 The XLA-scan kernel (ops/pairhmm.py) is latency-bound: each anti-diagonal
-is one while-loop step (~us dispatch) while the actual VPU work per step
-is ~0.3us at B=128.  This kernel runs the whole diagonal loop inside one
-Pallas program so the only per-step costs are VPU ops and VMEM traffic.
+is one while-loop step (~4.5us dispatch) while the actual VPU work per
+step is well under 1us.  This kernel runs the whole diagonal loop inside
+one Pallas program so the only per-step costs are VPU ops and VMEM
+traffic.
 
-Round-2 design (fixes the round-1 findings recorded in CLAUDE.md):
-- band code chunks stream HBM->VMEM via the GRID (BlockSpec index_map),
-  so Mosaic double-buffers the DMA automatically — no in-kernel
-  make_async_copy/semaphore machinery;
-- x and y codes are PACKED into one int8 (x*8+y): half the HBM traffic;
+Round-3 design — informed by the scripts_dev/pallas_ladder3.py hardware
+measurements (v5e):
+- a fori_loop over diagonal PAIRS inside a single kernel program costs
+  ~292 ns per pair for the full real body (vs ~1.6 ms per grid step for
+  the round-2 grid-streamed version: the Mosaic grid pipeline, not the
+  body, was the bottleneck);
+- band code chunks stream HBM->VMEM via MANUAL double-buffered
+  make_async_copy DMAs (2 x CHUNK diagonals in flight), overlapping the
+  copy of chunk c+1 with the compute of chunk c;
+- the batch is tiled into (W, BT=128) programs over a 1-D grid; each
+  program runs the entire diagonal loop for its tile, so scratch init /
+  output emit are straight-line code (no cross-step @pl.when state);
+- traced leading-index READS of the flattened VMEM code buffer are fast
+  (ladder3: buf[t] with traced t measured at full speed); traced scratch
+  WRITES remain static (ping-pong sA/sB buffers, unroll by 2).
+
+Mosaic-friendly construction kept from rounds 1-2:
+- x and y codes PACKED into one int8 (x*8+y): half the HBM traffic,
   unpacked in-kernel with shift/mask;
-- the diagonal loop is unrolled by 2 with two static ping-pong state
-  buffers (sA = even diagonals, sB = odd): no traced scratch slot
-  indices (round 1's dynamic-slot indexing lowered to a slow path);
-- rescaling happens every SECOND diagonal only, and the scale ratio for
-  the skipped step is carried directly as 1/safe — zero exp() calls and
-  one log() per two diagonals;
-- the log-likelihood accumulates in VMEM scratch and the output ref is
-  written once, in the last grid step (round 1 rewrote it every step).
-
-Mosaic-friendly construction kept from round 1:
 - no dot_general: emissions and transition sums are unrolled
-  scalar-times-vector FMAs over SMEM table entries,
+  scalar-times-vector FMAs over SMEM table entries;
 - no scatter / jnp.pad: masks via broadcasted_iota, band shifts via
-  pltpu.roll (shift >= 0) + edge masking,
-- per-state carries are separate (W, B) tiles — W on sublanes, B on
-  lanes.
+  pltpu.roll (shift >= 0) + edge masking;
+- rescaling every SECOND diagonal only, the skipped step's scale ratio
+  carried directly as 1/safe — zero exp() calls, one log() per two
+  diagonals.
 
 Validity is encoded in the codes themselves: out-of-lattice cells carry
 code 5, whose one-hot is zero, so every arrival emission vanishes — no
@@ -34,8 +39,9 @@ separate mask pass.  (Rogue delete/insert mass outside the lattice can
 never re-enter it: i and j are non-decreasing along forward moves.)
 
 Forward-only (log-likelihood); the backward/EM path stays on the XLA
-kernel.  Requires uniform band geometry across the batch.  Oracle-tested
-against ops/pairhmm in interpret mode (tests/test_pallas.py).
+kernel (see pairhmm_pallas_realign for the fused realign kernel).
+Requires uniform band geometry across the batch.  Oracle-tested against
+ops/pairhmm in interpret mode (tests/test_pallas.py).
 """
 
 from __future__ import annotations
@@ -52,7 +58,18 @@ from jax.experimental.pallas import tpu as pltpu
 from nanopore_tpu.ops.pairhmm import BandedBatch, KernelParams
 
 NUM_STATES = 5
-CHUNK = 256  # diagonals per grid step (must be even)
+CHUNK = 256  # diagonals per DMA chunk (must be even)
+BT = 128  # batch-tile width (lanes)
+
+
+def _unpack_onehots(xy):
+    """Packed int8 codes (x*8+y) -> per-code one-hot (W, BT) f32 lists."""
+    xy32 = xy.astype(jnp.int32)
+    xv = xy32 >> 3
+    yv = xy32 & 7
+    oh_x = [(xv == v).astype(jnp.float32) for v in range(5)]
+    oh_y = [(yv == v).astype(jnp.float32) for v in range(5)]
+    return oh_x, oh_y
 
 
 def _kernel(
@@ -62,42 +79,49 @@ def _kernel(
     tf_ref,  # (25,) f32 transitions [from*5+to]
     emf_ref,  # (36,) f32 match emissions [x*6+y], rows/cols 5 zero
     egf_ref,  # (30,) f32 gap emissions [state*6+base], col 5 zero
-    # tensor inputs (grid-streamed / revisited)
-    kend_ref,  # (1, B) int32 VMEM
-    xy_ref,  # (2, W, B) int8 VMEM block: packed codes x*8+y, one PAIR
+    # tensor inputs
+    kend_ref,  # (1, BT) int32 VMEM block (per batch tile)
+    xy_hbm,  # (NB, K_pad, W, BT) int8 in HBM: packed codes x*8+y
     # outputs
-    loglik_ref,  # (1, B) f32
+    loglik_ref,  # (1, BT) f32
     # scratch
-    sA,  # (NUM_STATES, W, B) f32 even-diagonal state
-    sB,  # (NUM_STATES, W, B) f32 odd-diagonal state
-    ls_ref,  # (2, 1, B) f32: [0]=log-scale of sA, [1]=of sB
-    rs_ref,  # (1, B) f32: exp(ls_B - ls_A) = 1/safe of the last rescale
-    acc_ref,  # (1, B) f32 running log-likelihood
+    buf,  # (2 * CHUNK, W, BT) int8 double-buffered code chunks
+    sA,  # (NUM_STATES, W, BT) f32 even-diagonal state
+    sB,  # (NUM_STATES, W, BT) f32 odd-diagonal state
+    ls_ref,  # (1, BT) f32 log-scale of sA
+    rs_ref,  # (1, BT) f32: exp(ls_B - ls_A) = 1/safe of the last rescale
+    acc_ref,  # (1, BT) f32 running log-likelihood
+    sems,  # (2,) DMA semaphores
     *,
-    B: int,
+    k_pad: int,
     W: int,
 ):
-    # one grid step = one PAIR of anti-diagonals: all in-kernel indexing
-    # is static (round 1+2 found traced VMEM slice indices lower to a
-    # ~1000x slow path); Mosaic pipelines the (2, W, B) code blocks
-    c = pl.program_id(0)
-    n_chunks = pl.num_programs(0)
+    bt = pl.program_id(0)
+    n_chunks = k_pad // CHUNK
+    pairs_per_chunk = CHUNK // 2
 
-    row = lax.broadcasted_iota(jnp.int32, (W, B), 0)
-    zeros = jnp.zeros((W, B), jnp.float32)
-    zb = jnp.zeros((1, B), jnp.float32)
-    kend = kend_ref[:, :]  # (1, B)
+    row = lax.broadcasted_iota(jnp.int32, (W, BT), 0)
+    zeros = jnp.zeros((W, BT), jnp.float32)
+    zb = jnp.zeros((1, BT), jnp.float32)
+    kend = kend_ref[:, :]  # (1, BT)
 
-    @pl.when(c == 0)
-    def _init():
-        start_val = jnp.where(row == 0, 1.0 / NUM_STATES, 0.0)
-        for st in range(NUM_STATES):
-            sA[st] = start_val  # diagonal 0
-            sB[st] = zeros  # "diagonal -1"
-        ls_ref[0] = zb
-        ls_ref[1] = zb
-        rs_ref[:, :] = jnp.ones((1, B), jnp.float32)
-        acc_ref[:, :] = zb
+    # ---- per-program init (straight-line: one program = one tile) ----
+    start_val = jnp.where(row == 0, 1.0 / NUM_STATES, 0.0)
+    for st in range(NUM_STATES):
+        sA[st] = start_val  # diagonal 0
+        sB[st] = zeros  # "diagonal -1"
+    ls_ref[:, :] = zb
+    rs_ref[:, :] = jnp.ones((1, BT), jnp.float32)
+    acc_ref[:, :] = zb
+
+    def chunk_dma(c, slot):
+        return pltpu.make_async_copy(
+            xy_hbm.at[bt, pl.ds(c * CHUNK, CHUNK)],
+            buf.at[pl.ds(slot * CHUNK, CHUNK)],
+            sems.at[slot],
+        )
+
+    chunk_dma(0, 0).start()
 
     def shift_w(arr, s: int):
         """result[w, :] = arr[w+s, :] with zero fill (roll needs s>=0)."""
@@ -118,17 +142,13 @@ def _kernel(
         """One anti-diagonal.
 
         k_new: traced diagonal index being computed.
-        prev/prevprev: lists of 5 (W, B) tiles; r: (1, B) scale ratio
-        putting prevprev on prev's scale; ls_cur: (1, B) log-scale of
+        prev/prevprev: lists of 5 (W, BT) tiles; r: (1, BT) scale ratio
+        putting prevprev on prev's scale; ls_cur: (1, BT) log-scale of
         prev.  Returns (new_state(list), ls_new, safe_inv, acc).
         """
         d1 = d1_ref[k_new - 1]
         d2 = d2_ref[k_new - 1]
-        xy32 = xy.astype(jnp.int32)
-        xv = xy32 >> 3
-        yv = xy32 & 7
-        oh_x = [(xv == v).astype(jnp.float32) for v in range(5)]
-        oh_y = [(yv == v).astype(jnp.float32) for v in range(5)]
+        oh_x, oh_y = _unpack_onehots(xy)
 
         # emissions: unrolled scalar-FMA over SMEM tables
         e_m = zeros
@@ -189,45 +209,63 @@ def _kernel(
         )
         return new, ls_new, safe_inv, acc
 
-    # diag k0 (even) is in sA; compute k0+1 into sB, k0+2 into sA
-    k0 = c * 2
-    a = [sA[st] for st in range(NUM_STATES)]
-    b = [sB[st] for st in range(NUM_STATES)]
-    ls_a = ls_ref[0]
-    rs = rs_ref[:, :]
-    acc = acc_ref[:, :]
+    def chunk_body(c, _):
+        slot = lax.rem(c, 2)
 
-    # step 1: odd diagonal; prev=sA (scale ls_a), prevprev=sB whose
-    # scale is the pre-rescale ls_a, so r = 1/safe carried in rs
-    new_b, ls_b, _, acc = diag_step(
-        k0 + 1, xy_ref[0, :, :], a, b, rs, ls_a, acc, rescale=False
-    )
-    # step 2: even diagonal; prev=sB (scale ls_b==ls_a), prevprev=sA
-    # (same scale): r = 1.  Rescale here.
-    one = jnp.ones((1, B), jnp.float32)
-    new_a, ls_a2, inv, acc = diag_step(
-        k0 + 2, xy_ref[1, :, :], new_b, a, one, ls_b, acc,
-        rescale=True,
-    )
-    # sB keeps pre-rescale scale ls_b = old ls_a; sA now ls_a2;
-    # next pair's prevprev ratio r = exp(ls_b - ls_a2) = 1/safe = inv
-    for st in range(NUM_STATES):
-        sB[st] = new_b[st]
-        sA[st] = new_a[st]
-    ls_ref[0] = ls_a2
-    ls_ref[1] = ls_b
-    rs_ref[:, :] = inv
-    acc_ref[:, :] = acc
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            chunk_dma(c + 1, 1 - slot).start()
 
-    @pl.when(c == n_chunks - 1)
-    def _emit():
-        loglik_ref[:, :] = acc_ref[:, :]
+        chunk_dma(c, slot).wait()
+        base = slot * CHUNK
+
+        def pair_body(ip, _):
+            # global diagonal pair: computes diagonals k0+1 (odd), k0+2
+            k0 = (c * pairs_per_chunk + ip) * 2
+            t = base + ip * 2
+            a = [sA[st] for st in range(NUM_STATES)]
+            b = [sB[st] for st in range(NUM_STATES)]
+            ls_a = ls_ref[:, :]
+            rs = rs_ref[:, :]
+            acc = acc_ref[:, :]
+
+            # step 1: odd diagonal; prev=sA (scale ls_a), prevprev=sB
+            # whose scale is the pre-rescale ls_a: r = 1/safe from rs
+            new_b, ls_b, _, acc = diag_step(
+                k0 + 1, buf[t], a, b, rs, ls_a, acc, rescale=False
+            )
+            # step 2: even diagonal; prev=sB (scale ls_b==ls_a),
+            # prevprev=sA (same scale): r = 1.  Rescale here.
+            one = jnp.ones((1, BT), jnp.float32)
+            new_a, ls_a2, inv, acc = diag_step(
+                k0 + 2, buf[t + 1], new_b, a, one, ls_b, acc,
+                rescale=True,
+            )
+            # sB keeps pre-rescale scale ls_b = old ls_a; sA now ls_a2;
+            # next pair's prevprev ratio r = exp(ls_b - ls_a2) = inv
+            for st in range(NUM_STATES):
+                sB[st] = new_b[st]
+                sA[st] = new_a[st]
+            ls_ref[:, :] = ls_a2
+            rs_ref[:, :] = inv
+            acc_ref[:, :] = acc
+            return 0
+
+        lax.fori_loop(0, pairs_per_chunk, pair_body, 0)
+        return 0
+
+    lax.fori_loop(0, n_chunks, chunk_body, 0)
+    loglik_ref[:, :] = acc_ref[:, :]
 
 
 def prepare_pallas_forward(
     batch: BandedBatch, params: KernelParams
 ) -> dict:
-    """Host-side repack of a BandedBatch for the Pallas forward kernel."""
+    """Host-side repack of a BandedBatch for the Pallas forward kernel.
+
+    Pads the batch to a multiple of BT lanes and tiles it as
+    (NB, K_pad, W, BT) so each grid program streams one contiguous tile.
+    """
     xc = np.asarray(batch.xc)  # (B, K+1, W) int8, sentinel 4
     yc = np.asarray(batch.yc)
     offsets = np.asarray(batch.offsets)
@@ -251,10 +289,16 @@ def prepare_pallas_forward(
     yv = np.where(invalid | y_oor, 5, yc).astype(np.int8)
 
     # pack x/y into one int8 stream: x*8+y (codes 0..5 each)
-    xyk = np.full((k_pad, W, B), (5 << 3) | 5, np.int8)
-    xyk[:K] = np.transpose(
+    B_pad = -(-B // BT) * BT
+    NB = B_pad // BT
+    xyk = np.full((k_pad, W, B_pad), (5 << 3) | 5, np.int8)
+    xyk[:K, :, :B] = np.transpose(
         (xv[:, 1:, :].astype(np.int16) << 3) | yv[:, 1:, :], (1, 2, 0)
     ).astype(np.int8)
+    # (k_pad, W, B_pad) -> (NB, k_pad, W, BT)
+    xyk = np.ascontiguousarray(
+        xyk.reshape(k_pad, W, NB, BT).transpose(2, 0, 1, 3)
+    )
 
     d1 = np.zeros(k_pad, np.int32)
     d2 = np.zeros(k_pad, np.int32)
@@ -270,6 +314,9 @@ def prepare_pallas_forward(
         np.asarray(params.e_gap_flat).reshape(5, 5), ((0, 0), (0, 1))
     ).reshape(-1).astype(np.float32)
 
+    kend = np.full(B_pad, -1, np.int32)  # pad lanes never finalise
+    kend[:B] = (m + n).astype(np.int32)
+
     # the Pallas path requires a shared band geometry across the batch
     same = bool((offsets == offsets[0]).all())
     return {
@@ -279,51 +326,86 @@ def prepare_pallas_forward(
         "tf": np.asarray(params.t).reshape(-1).astype(np.float32),
         "emf": emf,
         "egf": egf,
-        "kend": (m + n).astype(np.int32).reshape(1, B),
+        "kend": kend.reshape(NB, 1, BT),
         "k_steps": k_pad,
         "B": B,
+        "NB": NB,
         "W": W,
         "uniform_bands": same,
     }
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k_steps", "B", "W", "interpret")
+    jax.jit, static_argnames=("k_steps", "NB", "W", "interpret")
 )
 def _pallas_forward_call(
-    d1, d2, tf, emf, egf, kend, xyk, k_steps, B, W, interpret=False
+    d1, d2, tf, emf, egf, kend, xyk, k_steps, NB, W, interpret=False
 ):
-    kernel = functools.partial(_kernel, B=B, W=W)
-    n_pairs = k_steps // 2
+    kernel = functools.partial(_kernel, k_pad=k_steps, W=W)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(n_pairs,),
+        grid=(NB,),
         in_specs=[
-            # kend: same tiny block revisited every step
-            pl.BlockSpec((1, B), lambda c, *_: (0, 0), memory_space=pltpu.VMEM),
-            # packed band codes: one PAIR of diagonals per grid step,
-            # pipelined HBM->VMEM by Mosaic
+            # kend: one (1, BT) block per batch tile
             pl.BlockSpec(
-                (2, W, B), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM
+                (None, 1, BT), lambda bt, *_: (bt, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
+            # packed band codes stay in HBM; the kernel DMAs chunks
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, B), lambda c, *_: (0, 0), memory_space=pltpu.VMEM
+            (None, 1, BT), lambda bt, *_: (bt, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((NUM_STATES, W, B), jnp.float32),  # sA
-            pltpu.VMEM((NUM_STATES, W, B), jnp.float32),  # sB
-            pltpu.VMEM((2, 1, B), jnp.float32),  # ls
-            pltpu.VMEM((1, B), jnp.float32),  # rs
-            pltpu.VMEM((1, B), jnp.float32),  # acc
+            pltpu.VMEM((2 * CHUNK, W, BT), jnp.int8),  # buf
+            pltpu.VMEM((NUM_STATES, W, BT), jnp.float32),  # sA
+            pltpu.VMEM((NUM_STATES, W, BT), jnp.float32),  # sB
+            pltpu.VMEM((1, BT), jnp.float32),  # ls
+            pltpu.VMEM((1, BT), jnp.float32),  # rs
+            pltpu.VMEM((1, BT), jnp.float32),  # acc
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NB, 1, BT), jnp.float32),
         interpret=interpret,
     )(d1, d2, tf, emf, egf, kend, xyk)
+    return out.reshape(NB * BT)
+
+
+class PallasForwardPlan:
+    """Device-resident inputs for the Pallas forward kernel.
+
+    The host repack (prepare_pallas_forward) costs seconds for large
+    batches — build the plan ONCE per batch and call run() repeatedly;
+    run() is a single jitted pallas_call.
+    """
+
+    def __init__(self, batch: BandedBatch, params: KernelParams):
+        prep = prepare_pallas_forward(batch, params)
+        if not prep["uniform_bands"]:
+            raise ValueError(
+                "pallas forward requires identical band offsets across "
+                "the batch; use ops.pairhmm.forward_loglik"
+            )
+        self.arrays = tuple(
+            jnp.asarray(prep[k])
+            for k in ("d1", "d2", "tf", "emf", "egf", "kend", "xyk")
+        )
+        self.k_steps = prep["k_steps"]
+        self.B = prep["B"]
+        self.NB = prep["NB"]
+        self.W = prep["W"]
+
+    def run(self, interpret: bool = False) -> jax.Array:
+        out = _pallas_forward_call(
+            *self.arrays, self.k_steps, self.NB, self.W, interpret
+        )
+        return out[: self.B]
 
 
 def pallas_forward_loglik(
@@ -332,25 +414,7 @@ def pallas_forward_loglik(
     """Forward log-likelihood via the fused Pallas kernel.
 
     Requires uniform band geometry across the batch (see
-    prepare_pallas_forward); raises otherwise.
+    prepare_pallas_forward); raises otherwise.  Prefer PallasForwardPlan
+    when calling repeatedly on one batch.
     """
-    prep = prepare_pallas_forward(batch, params)
-    if not prep["uniform_bands"]:
-        raise ValueError(
-            "pallas forward requires identical band offsets across the "
-            "batch; use ops.pairhmm.forward_loglik"
-        )
-    out = _pallas_forward_call(
-        jnp.asarray(prep["d1"]),
-        jnp.asarray(prep["d2"]),
-        jnp.asarray(prep["tf"]),
-        jnp.asarray(prep["emf"]),
-        jnp.asarray(prep["egf"]),
-        jnp.asarray(prep["kend"]),
-        jnp.asarray(prep["xyk"]),
-        prep["k_steps"],
-        prep["B"],
-        prep["W"],
-        interpret,
-    )
-    return out[0, :]
+    return PallasForwardPlan(batch, params).run(interpret)

@@ -1,0 +1,861 @@
+"""Pallas fused realign kernel: forward + remat backward/EM + reverse-MEA.
+
+The TPU-native centerpiece: one Pallas program per batch tile performs
+the COMPLETE ``cactus_realign`` equivalent (reference
+/root/reference/nanopore/analyses/utils.py:587) that ops/mea.realign_fused
+runs as three XLA anti-diagonal scans — forward log-likelihood,
+checkpointed/rematerialised backward with Baum-Welch expectation
+accumulation, and the reverse maximum-expected-accuracy decode fused
+into the backward sweep.  Per-diagonal cost drops from ~4.5 us (XLA
+while-loop dispatch latency) to the VPU's actual work (~0.15-0.5 us for
+a (W=64, 128-read) tile, measured via scripts_dev/pallas_ladder3.py).
+
+Structure (per grid program = one (W, BT=128) batch tile):
+
+  Phase A  forward sweep: fori_loop over diagonal PAIRS, ping-pong
+           (sA, sB) state, rescale every 2nd diagonal; packed x/y codes
+           DMA'd HBM->VMEM in double-buffered CHUNK-diagonal blocks;
+           every SEG diagonals the carry (sA, sB, scales) is DMA'd out
+           as a segment boundary checkpoint (the remat contract of
+           ops/pairhmm.em_expectations).
+  Phase B  backward sweep, segments in descending order, each segment
+           fully UNROLLED (static VMEM slots — traced scratch writes
+           lower to a slow path, ladder3 round-1 finding):
+             1. re-run the forward from the segment's boundary
+                checkpoint, storing the SEG per-diagonal states in VMEM;
+             2. walk the segment's diagonals backward: five-state
+                backward recursion, EM transition/emission expectation
+                FMAs (reduced over the band only once, at the end), and
+                the reverse-MEA DP emitting packed direction codes.
+  Final    diagonal-0 step (start-tile forward state), band reduction
+           of the EM accumulators, output writes.
+
+Validity is encoded in the sequence codes (sentinel 5 => zero one-hot
+=> zero emission), which provably keeps all out-of-lattice forward AND
+backward mass at exactly zero — no per-cell valid masks anywhere.
+
+Semantics match ops/mea.realign_fused (oracle-tested in interpret mode,
+tests/test_pallas_realign.py); only the scaling schedule differs
+(every-2nd-diagonal forward rescale vs every-diagonal), which cancels
+in all outputs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nanopore_tpu.ops.pairhmm import BandedBatch, KernelParams
+from nanopore_tpu.ops.pairhmm_pallas import _unpack_onehots
+
+NUM_STATES = 5
+BT = 128  # batch-tile width (lanes)
+CHUNK = 128  # phase-A diagonals per DMA chunk (multiple of SEG, even)
+SEG = 32  # remat segment length in diagonals (even)
+NEG = -1e30
+DIR_NONE = 3
+
+
+def _realign_kernel(
+    # scalar-prefetch (SMEM)
+    d1_ref,  # (K_pad,) int32: o[k]-o[k-1] for diag k=1.. (fwd "d1")
+    d2_ref,  # (K_pad,) int32: o[k]-o[k-2]-1 (fwd "d2")
+    d1n_ref,  # (K_pad+1,) int32: o[k+1]-o[k] (bwd d1n, index k)
+    d2n2_ref,  # (K_pad+1,) int32: o[k+2]-o[k]-1 (bwd d2n2, index k)
+    tf_ref,  # (25,) f32 transitions [from*5+to]
+    emf_ref,  # (36,) f32 match emissions [x*6+y]
+    egf_ref,  # (30,) f32 gap emissions [state*6+base]
+    gg_ref,  # (2,) f32: [gapGamma, matchGamma]
+    # tensor inputs
+    kend_ref,  # (1, BT) int32 VMEM block
+    xy0_ref,  # (1, W, BT) int8 VMEM block: packed NEXT codes at diag 0
+    xyc_hbm,  # (NB, K_pad, W, BT) int8: packed cur codes (x[j-1],y[i-1])
+    xyn_hbm,  # (NB, K_pad, W, BT) int8: packed next codes (x[j],y[i])
+    # outputs
+    loglik_ref,  # (1, BT) f32 VMEM
+    score_ref,  # (1, BT) f32 VMEM
+    trans_ref,  # (25, BT) f32 VMEM
+    e16_ref,  # (16, BT) f32 VMEM
+    edel_ref,  # (8, BT) f32 VMEM  rows [state(1|3)*4 + base]
+    eins_ref,  # (8, BT) f32 VMEM  rows [state(2|4)*4 + base]
+    dirs_hbm,  # (NB*(K_pad+1), W, BT) int8: direction codes, flattened
+    bnd_hbm,  # (NB*S*10, W, BT) f32: boundary checkpoints, flattened
+    bscal_hbm,  # (NB*S, 8, 1, BT) f32: boundary scalar rows
+    # NOTE: all DMA addressing below uses a SINGLE dynamic offset on the
+    # leading dim (rows flattened host-side) — the only start/wait src
+    # patterns validated fast+correct on hardware (scripts_dev ladders)
+    # scratch
+    bufA,  # (2*CHUNK, W, BT) int8 phase-A code chunks
+    bufc,  # (2*SEG, W, BT) int8 phase-B cur codes
+    bufn,  # (2*SEG, W, BT) int8 phase-B next codes
+    bndbuf,  # (2, 10, W, BT) f32 boundary in
+    bscalbuf,  # (2, 8, 1, BT) f32 boundary scalars in
+    f_buf,  # (SEG*5, W, BT) f32 rematerialised forward states
+    lsf_buf,  # (SEG, 1, BT) f32 their log-scales
+    sA,  # (5, W, BT) f32 forward even-diag state
+    sB,  # (5, W, BT) f32 forward odd-diag state
+    bwd1,  # (5, W, BT) f32 backward state b[k+1]
+    bwd2,  # (5, W, BT) f32 backward state b[k+2]
+    em_buf,  # (57, W, BT) f32: 0-24 trans, 25-40 e16, 41-48 edel, 49-56 eins
+    mea_buf,  # (6, W, BT) f32: u1, u2, gm1, gm2, gd1, gi1
+    scal,  # (8, 1, BT) f32: 0 lsA, 1 rs, 2 loglik, 3 lsb1, 4 lsb2
+    dirs_buf,  # (2*SEG, W, BT) int8
+    in_sems,  # DMA (4, 2)
+    out_sems,  # DMA (2,)
+    bnd_sems,  # DMA (3,)
+    *,
+    k_pad: int,
+    W: int,
+):
+    bt = pl.program_id(0)
+    n_chunks = k_pad // CHUNK
+    pairs_per_chunk = CHUNK // 2
+    pairs_per_seg = SEG // 2
+    S = k_pad // SEG
+
+    row = lax.broadcasted_iota(jnp.int32, (W, BT), 0)
+    zeros = jnp.zeros((W, BT), jnp.float32)
+    zb = jnp.zeros((1, BT), jnp.float32)
+    ones_b = jnp.ones((1, BT), jnp.float32)
+    neg_tile = jnp.full((W, BT), NEG, jnp.float32)
+    end_band = jnp.where(row == 0, 1.0, 0.0)  # backward end condition
+    end_u = jnp.where(row == 0, 0.0, NEG)  # MEA end condition
+    kend = kend_ref[:, :]
+    gg = gg_ref[0]
+    mg = gg_ref[1]
+
+    # ---------------- shared helpers ----------------
+    def shift_w(arr, s: int, fill):
+        if s == 0:
+            return arr
+        rolled = pltpu.roll(arr, (-s) % W, 0)
+        if s > 0:
+            return jnp.where(row < W - s, rolled, fill)
+        return jnp.where(row >= -s, rolled, fill)
+
+    def sel_shift(arr, s, lo, hi, fill=0.0):
+        out = shift_w(arr, lo, fill)
+        for v in range(lo + 1, hi + 1):
+            out = jnp.where(s == v, shift_w(arr, v, fill), out)
+        return out
+
+    def match_emission(oh_x, oh_y):
+        e_m = zeros
+        for a in range(5):
+            inner = zeros
+            for cc in range(5):
+                inner = inner + emf_ref[a * 6 + cc] * oh_y[cc]
+            e_m = e_m + oh_x[a] * inner
+        return e_m
+
+    def gap_emissions(oh_x, oh_y):
+        gx1 = zeros
+        gx3 = zeros
+        gy2 = zeros
+        gy4 = zeros
+        for cc in range(5):
+            gx1 = gx1 + egf_ref[1 * 6 + cc] * oh_x[cc]
+            gx3 = gx3 + egf_ref[3 * 6 + cc] * oh_x[cc]
+            gy2 = gy2 + egf_ref[2 * 6 + cc] * oh_y[cc]
+            gy4 = gy4 + egf_ref[4 * 6 + cc] * oh_y[cc]
+        return gx1, gx3, gy2, gy4
+
+    def trans_sum(preds, dest):
+        acc_t = tf_ref[0 * 5 + dest] * preds[0]
+        for s in range(1, NUM_STATES):
+            acc_t = acc_t + tf_ref[s * 5 + dest] * preds[s]
+        return acc_t
+
+    def fwd_diag_step(k_new, xy, prev, prevprev, r, ls_cur, acc, rescale):
+        """One forward anti-diagonal (identical math to pairhmm_pallas)."""
+        d1 = d1_ref[k_new - 1]
+        d2 = d2_ref[k_new - 1]
+        oh_x, oh_y = _unpack_onehots(xy)
+        e_m = match_emission(oh_x, oh_y)
+        gx1, gx3, gy2, gy4 = gap_emissions(oh_x, oh_y)
+
+        diag = [sel_shift(pp, d2, -1, 1) * r for pp in prevprev]
+        left = [sel_shift(pv, d1 - 1, -1, 0) for pv in prev]
+        up = [sel_shift(pv, d1, 0, 1) for pv in prev]
+
+        new = [
+            e_m * trans_sum(diag, 0),
+            gx1 * trans_sum(left, 1),
+            gy2 * trans_sum(up, 2),
+            gx3 * trans_sum(left, 3),
+            gy4 * trans_sum(up, 4),
+        ]
+        if rescale:
+            scale = jnp.max(new[0], axis=0, keepdims=True)
+            for s in range(1, NUM_STATES):
+                scale = jnp.maximum(
+                    scale, jnp.max(new[s], axis=0, keepdims=True)
+                )
+            safe = jnp.where(scale > 0, scale, 1.0)
+            inv = 1.0 / safe
+            new = [arr * inv for arr in new]
+            ls_new = ls_cur + jnp.log(safe)
+            safe_inv = inv
+        else:
+            ls_new = ls_cur
+            safe_inv = None
+        fin = zb
+        for s in range(NUM_STATES):
+            fin = fin + new[s][0:1, :]
+        acc = acc + jnp.where(
+            k_new == kend, jnp.log(jnp.maximum(fin, 1e-37)) + ls_new, 0.0
+        )
+        return new, ls_new, safe_inv, acc
+
+    # ================= Phase A: forward + boundary dumps =================
+    start_tile = jnp.where(row == 0, 1.0 / NUM_STATES, 0.0)
+    for st in range(NUM_STATES):
+        sA[st] = start_tile
+        sB[st] = zeros
+    scal[0] = zb  # lsA
+    scal[1] = ones_b  # rs
+    scal[2] = zb  # loglik acc
+
+    def chunk_dma(c, slot):
+        return pltpu.make_async_copy(
+            xyc_hbm.at[bt, pl.ds(c * CHUNK, CHUNK)],
+            bufA.at[pl.ds(slot * CHUNK, CHUNK)],
+            in_sems.at[0, slot],
+        )
+
+    chunk_dma(0, 0).start()
+
+    def chunk_body(c, _):
+        slot = lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            chunk_dma(c + 1, 1 - slot).start()
+
+        chunk_dma(c, slot).wait()
+        base = slot * CHUNK
+
+        def pair_body(ip, _):
+            p = c * pairs_per_chunk + ip  # global pair index
+
+            # boundary checkpoint entering segment s_idx = p / (SEG/2)
+            @pl.when(lax.rem(p, pairs_per_seg) == 0)
+            def _dump():
+                s_idx = lax.div(p, pairs_per_seg)
+                base_r = (bt * S + s_idx) * 10
+                cp1 = pltpu.make_async_copy(
+                    sA, bnd_hbm.at[pl.ds(base_r, 5)], bnd_sems.at[0]
+                )
+                cp2 = pltpu.make_async_copy(
+                    sB, bnd_hbm.at[pl.ds(base_r + 5, 5)], bnd_sems.at[1]
+                )
+                cp3 = pltpu.make_async_copy(
+                    scal, bscal_hbm.at[bt * S + s_idx], bnd_sems.at[2]
+                )
+                cp1.start()
+                cp2.start()
+                cp3.start()
+                cp1.wait()
+                cp2.wait()
+                cp3.wait()
+
+            t = base + ip * 2
+            k0 = p * 2
+            a = [sA[st] for st in range(NUM_STATES)]
+            b = [sB[st] for st in range(NUM_STATES)]
+            new_b, ls_b, _, acc = fwd_diag_step(
+                k0 + 1, bufA[t], a, b, scal[1], scal[0], scal[2],
+                rescale=False,
+            )
+            new_a, ls_a2, inv, acc = fwd_diag_step(
+                k0 + 2, bufA[t + 1], new_b, a, ones_b, ls_b, acc,
+                rescale=True,
+            )
+            for st in range(NUM_STATES):
+                sB[st] = new_b[st]
+                sA[st] = new_a[st]
+            scal[0] = ls_a2
+            scal[1] = inv
+            scal[2] = acc
+            return 0
+
+        lax.fori_loop(0, pairs_per_chunk, pair_body, 0)
+        return 0
+
+    lax.fori_loop(0, n_chunks, chunk_body, 0)
+    loglik = scal[2]
+    loglik_ref[:, :] = loglik
+
+    # ================= Phase B: backward sweep =================
+    for i in range(57):
+        em_buf[i] = zeros
+    mea_buf[0] = neg_tile  # u1
+    mea_buf[1] = neg_tile  # u2
+    for i in range(2, 6):
+        mea_buf[i] = zeros
+    for st in range(NUM_STATES):
+        bwd1[st] = zeros
+        bwd2[st] = zeros
+    scal[3] = zb  # lsb1
+    scal[4] = zb  # lsb2
+
+    def seg_dmas(s, slot):
+        k0 = s * SEG
+        return (
+            pltpu.make_async_copy(
+                xyc_hbm.at[bt, pl.ds(k0, SEG)],
+                bufc.at[pl.ds(slot * SEG, SEG)],
+                in_sems.at[0, slot],
+            ),
+            pltpu.make_async_copy(
+                xyn_hbm.at[bt, pl.ds(k0, SEG)],
+                bufn.at[pl.ds(slot * SEG, SEG)],
+                in_sems.at[1, slot],
+            ),
+            pltpu.make_async_copy(
+                bnd_hbm.at[pl.ds((bt * S + s) * 10, 10)], bndbuf.at[slot],
+                in_sems.at[2, slot],
+            ),
+            pltpu.make_async_copy(
+                bscal_hbm.at[bt * S + s], bscalbuf.at[slot],
+                in_sems.at[3, slot],
+            ),
+        )
+
+    for d in seg_dmas(S - 1, (S - 1) % 2):
+        d.start()
+
+    def bwd_diag_step(k, kl, slot, carry):
+        """One backward + EM + MEA diagonal (k traced, kl static)."""
+        (b1, b2, lsb1, lsb2, u1, u2, gm1, gm2, gd1, gi1) = carry
+        d1n = d1n_ref[k]
+        d2n2 = d2n2_ref[k]
+        oh_xn, oh_yn = _unpack_onehots(bufn[slot * SEG + kl])
+        e_m_next = match_emission(oh_xn, oh_yn)
+        gx1n, gx3n, gy2n, gy4n = gap_emissions(oh_xn, oh_yn)
+
+        r = jnp.exp(jnp.clip(lsb2 - lsb1, -80.0, 80.0))
+        bM = sel_shift(b2[0], -d2n2, -1, 1) * r * e_m_next
+        bD1 = sel_shift(b1[1], 1 - d1n, 0, 1) * gx1n
+        bD2 = sel_shift(b1[3], 1 - d1n, 0, 1) * gx3n
+        bI1 = sel_shift(b1[2], -d1n, -1, 0) * gy2n
+        bI2 = sel_shift(b1[4], -d1n, -1, 0) * gy4n
+        dest = [bM, bD1, bI1, bD2, bI2]
+
+        new = []
+        for s in range(NUM_STATES):
+            acc_t = tf_ref[s * 5 + 0] * dest[0]
+            for t2 in range(1, NUM_STATES):
+                acc_t = acc_t + tf_ref[s * 5 + t2] * dest[t2]
+            new.append(acc_t)
+
+        is_end = k == kend  # (1, BT)
+        # (1,BT) predicates must not feed (W,BT) selects: Mosaic lowers
+        # the i1 sublane-broadcast wrong on v5e (hardware-only, silent).
+        # Blend through f32 instead.
+        is_end_f = jnp.where(is_end, 1.0, 0.0)  # (1, BT) select: fine
+        not_end = 1.0 - is_end_f
+        new = [x * not_end + end_band * is_end_f for x in new]
+
+        scale = jnp.max(new[0], axis=0, keepdims=True)
+        for s in range(1, NUM_STATES):
+            scale = jnp.maximum(scale, jnp.max(new[s], axis=0, keepdims=True))
+        safe = jnp.where(scale > 0, scale, 1.0)
+        inv = 1.0 / safe
+        new = [x * inv for x in new]
+        lsb_new = jnp.where(is_end, 0.0, lsb1 + jnp.log(safe))
+
+        # ---- EM expectations ----
+        f_hat = [f_buf[kl * 5 + st] for st in range(NUM_STATES)]
+        lsf = lsf_buf[kl]
+        factor_trans = jnp.exp(jnp.clip(lsf + lsb1 - loglik, -80.0, 80.0))
+        for s in range(NUM_STATES):
+            fs = f_hat[s] * factor_trans
+            for t2 in range(NUM_STATES):
+                em_buf[s * 5 + t2] = em_buf[s * 5 + t2] + fs * dest[t2]
+
+        g_factor = jnp.exp(jnp.clip(lsf + lsb_new - loglik, -80.0, 80.0))
+        gamma = [f_hat[s] * new[s] * g_factor for s in range(NUM_STATES)]
+
+        oh_xc, oh_yc = _unpack_onehots(bufc[slot * SEG + kl])
+        for a in range(4):
+            ga = gamma[0] * oh_xc[a]
+            for b_ in range(4):
+                em_buf[25 + a * 4 + b_] = (
+                    em_buf[25 + a * 4 + b_] + ga * oh_yc[b_]
+                )
+        for di, s in enumerate((1, 3)):
+            for a in range(4):
+                em_buf[41 + di * 4 + a] = (
+                    em_buf[41 + di * 4 + a] + gamma[s] * oh_xc[a]
+                )
+        for di, s in enumerate((2, 4)):
+            for a in range(4):
+                em_buf[49 + di * 4 + a] = (
+                    em_buf[49 + di * 4 + a] + gamma[s] * oh_yc[a]
+                )
+
+        # ---- fused reverse MEA ----
+        diag_t = sel_shift(u2 + gm2 - mg, -d2n2, -1, 1, NEG)
+        left_t = sel_shift(u1 + gg * gd1, 1 - d1n, 0, 1, NEG)
+        up_t = sel_shift(u1 + gg * gi1, -d1n, -1, 0, NEG)
+        best = jnp.maximum(jnp.maximum(diag_t, left_t), up_t)
+        # choice stays f32 until the store: int8 selects force an i1
+        # relayout from (8,128) to (32,128) tiling that Mosaic rejects
+        choice_f = jnp.where(
+            best == diag_t,
+            0.0,
+            jnp.where(best == left_t, 1.0, 2.0),
+        )
+        new_u = best * not_end + end_u * is_end_f
+        ok = jnp.where(new_u > NEG / 2, 1.0, 0.0) * not_end
+        choice_f = choice_f * ok + float(DIR_NONE) * (1.0 - ok)
+        choice = choice_f.astype(jnp.int8)
+
+        g_m = gamma[0]
+        g_d = gamma[1] + gamma[3]
+        g_i = gamma[2] + gamma[4]
+        new_carry = (
+            new, b1, lsb_new, lsb1,
+            new_u, u1, g_m, gm1, g_d, g_i,
+        )
+        return new_carry, choice
+
+    def seg_body(si, _):
+        s = S - 1 - si  # descending segment index
+        slot = lax.rem(s, 2)
+        k0 = s * SEG
+
+        @pl.when(s >= 1)
+        def _():
+            for d in seg_dmas(s - 1, 1 - slot):
+                d.start()
+
+        for d in seg_dmas(s, slot):
+            d.wait()
+
+        # wait for the dirs DMA that last used this slot (2 segments ago)
+        @pl.when(si >= 2)
+        def _():
+            pltpu.make_async_copy(
+                dirs_buf.at[pl.ds(slot * SEG, SEG)],
+                dirs_hbm.at[pl.ds(bt * (k_pad + 1) + 1, SEG)],
+                out_sems.at[slot],
+            ).wait()
+
+        # ---- 1. rematerialise the segment's forward states ----
+        a = [bndbuf[slot, st] for st in range(5)]
+        b = [bndbuf[slot, 5 + st] for st in range(5)]
+        ls_a = bscalbuf[slot, 0]
+        rs = bscalbuf[slot, 1]
+        dummy_acc = zb
+        for pp in range(pairs_per_seg):
+            t = slot * SEG + 2 * pp
+            new_b, ls_b, _, _ = fwd_diag_step(
+                k0 + 2 * pp + 1, bufc[t], a, b, rs, ls_a, dummy_acc,
+                rescale=False,
+            )
+            new_a, ls_a, rs, _ = fwd_diag_step(
+                k0 + 2 * pp + 2, bufc[t + 1], new_b, a, ones_b, ls_b,
+                dummy_acc, rescale=True,
+            )
+            for st in range(NUM_STATES):
+                f_buf[(2 * pp) * 5 + st] = new_b[st]
+                f_buf[(2 * pp + 1) * 5 + st] = new_a[st]
+            lsf_buf[2 * pp] = ls_b
+            lsf_buf[2 * pp + 1] = ls_a
+            b = new_b
+            a = new_a
+
+        # ---- 2. backward + EM + MEA, diagonals k0+SEG .. k0+1 ----
+        carry = (
+            [bwd1[st] for st in range(NUM_STATES)],
+            [bwd2[st] for st in range(NUM_STATES)],
+            scal[3], scal[4],
+            mea_buf[0], mea_buf[1], mea_buf[2], mea_buf[3],
+            mea_buf[4], mea_buf[5],
+        )
+        for kl in range(SEG - 1, -1, -1):
+            carry, choice = bwd_diag_step(k0 + kl + 1, kl, slot, carry)
+            dirs_buf[slot * SEG + kl] = choice
+
+        for st in range(NUM_STATES):
+            bwd1[st] = carry[0][st]
+            bwd2[st] = carry[1][st]
+        scal[3] = carry[2]
+        scal[4] = carry[3]
+        for i in range(6):
+            mea_buf[i] = carry[4 + i]
+
+        pltpu.make_async_copy(
+            dirs_buf.at[pl.ds(slot * SEG, SEG)],
+            dirs_hbm.at[pl.ds(bt * (k_pad + 1) + k0 + 1, SEG)],
+            out_sems.at[slot],
+        ).start()
+        return 0
+
+    lax.fori_loop(0, S, seg_body, 0)
+
+    # drain outstanding dirs DMAs (slots used by segments s=1 and s=0)
+    for slot in range(min(2, S)):
+        pltpu.make_async_copy(
+            dirs_buf.at[pl.ds(slot * SEG, SEG)],
+            dirs_hbm.at[pl.ds(bt * (k_pad + 1) + 1, SEG)],
+            out_sems.at[slot],
+        ).wait()
+
+    # ---- final step: diagonal 0 (forward state = start tile) ----
+    f_start = [start_tile * 0.0 for _ in range(NUM_STATES)]
+    for st in range(NUM_STATES):
+        f_buf[st] = start_tile
+    lsf_buf[0] = zb
+    # reuse bwd_diag_step with kl=0, slot via dedicated buffers: copy the
+    # diag-0 code tiles into bufc/bufn slot 0 row 0
+    del f_start
+    bufn[0] = xy0_ref[0]
+    # cur codes at diag 0 are all-sentinel (j-1, i-1 < 0 everywhere)
+    bufc[0] = jnp.full((W, BT), (5 << 3) | 5, jnp.int8)
+    carry = (
+        [bwd1[st] for st in range(NUM_STATES)],
+        [bwd2[st] for st in range(NUM_STATES)],
+        scal[3], scal[4],
+        mea_buf[0], mea_buf[1], mea_buf[2], mea_buf[3],
+        mea_buf[4], mea_buf[5],
+    )
+    carry, choice0 = bwd_diag_step(jnp.int32(0), 0, 0, carry)
+    dirs_buf[0] = choice0
+    u0 = carry[4]
+    score_ref[:, :] = u0[0:1, :]
+    cp0 = pltpu.make_async_copy(
+        dirs_buf.at[pl.ds(0, 1)],
+        dirs_hbm.at[pl.ds(bt * (k_pad + 1), 1)],
+        out_sems.at[0],
+    )
+    cp0.start()
+    cp0.wait()
+
+    # ---- reduce EM accumulators over the band ----
+    trans_rows = [
+        tf_ref[i] * jnp.sum(em_buf[i], axis=0, keepdims=True)
+        for i in range(25)
+    ]
+    trans_ref[:, :] = jnp.concatenate(trans_rows, axis=0)
+    e16_ref[:, :] = jnp.concatenate(
+        [jnp.sum(em_buf[25 + i], axis=0, keepdims=True) for i in range(16)],
+        axis=0,
+    )
+    edel_ref[:, :] = jnp.concatenate(
+        [jnp.sum(em_buf[41 + i], axis=0, keepdims=True) for i in range(8)],
+        axis=0,
+    )
+    eins_ref[:, :] = jnp.concatenate(
+        [jnp.sum(em_buf[49 + i], axis=0, keepdims=True) for i in range(8)],
+        axis=0,
+    )
+
+
+def prepare_pallas_realign(batch: BandedBatch, params: KernelParams) -> dict:
+    """Host-side repack of a BandedBatch for the fused realign kernel."""
+    xc = np.asarray(batch.xc)
+    yc = np.asarray(batch.yc)
+    xn = np.asarray(batch.xn)
+    yn = np.asarray(batch.yn)
+    offsets = np.asarray(batch.offsets)
+    m = np.asarray(batch.m)
+    n = np.asarray(batch.n)
+    B, K1, W = xc.shape
+    K = K1 - 1
+    k_pad = -(-K // CHUNK) * CHUNK
+
+    ks = np.arange(K1)[None, :, None]
+    bs = np.arange(W)[None, None, :]
+    j = offsets[:, :, None] + bs
+    i = ks - j
+    invalid = (
+        (j < 0) | (j > n[:, None, None]) | (i < 0) | (i > m[:, None, None])
+    )
+
+    def pack(xcodes, ycodes, x_oor, y_oor):
+        xv = np.where(invalid | x_oor, 5, xcodes).astype(np.int16)
+        yv = np.where(invalid | y_oor, 5, ycodes).astype(np.int16)
+        return ((xv << 3) | yv).astype(np.int8)
+
+    pk_cur = pack(
+        xc, yc,
+        (j - 1 < 0) | (j - 1 >= n[:, None, None]),
+        (i - 1 < 0) | (i - 1 >= m[:, None, None]),
+    )  # (B, K1, W)
+    pk_next = pack(
+        xn, yn,
+        (j < 0) | (j >= n[:, None, None]),
+        (i < 0) | (i >= m[:, None, None]),
+    )
+
+    B_pad = -(-B // BT) * BT
+    NB = B_pad // BT
+    sent = (5 << 3) | 5
+
+    def tile(pk, first_row):
+        out = np.full((k_pad, W, B_pad), sent, np.int8)
+        out[: K1 - first_row, :, :B] = np.transpose(
+            pk[:, first_row:, :], (1, 2, 0)
+        )
+        return np.ascontiguousarray(
+            out.reshape(k_pad, W, NB, BT).transpose(2, 0, 1, 3)
+        )
+
+    xyc = tile(pk_cur, 1)  # row r = diag r+1
+    xyn = tile(pk_next, 1)
+    xy0 = np.full((NB, 1, W, B_pad // NB), sent, np.int8)
+    xy0[:, 0] = np.ascontiguousarray(
+        np.transpose(
+            np.concatenate(
+                [pk_next[:, 0, :],
+                 np.full((B_pad - B, W), sent, np.int8)], axis=0
+            ),
+            (1, 0),
+        ).reshape(W, NB, BT).transpose(1, 0, 2)
+    )
+
+    o = offsets[0]
+    d1 = np.zeros(k_pad, np.int32)
+    d2 = np.zeros(k_pad, np.int32)
+    d1[:K] = o[1:] - o[:-1]
+    o_km2 = np.concatenate([[0], o[:-2]])
+    d2[:K] = o[1:] - o_km2 - 1
+    d1n = np.zeros(k_pad + 1, np.int32)
+    d1n[:K] = o[1:] - o[:-1]
+    d2n2 = np.zeros(k_pad + 1, np.int32)
+    d2n2[: K - 1] = o[2:] - o[:-2] - 1
+
+    emf = np.zeros(36, np.float32)
+    emf[:30] = np.pad(
+        np.asarray(params.e_match_flat).reshape(5, 5), ((0, 0), (0, 1))
+    ).reshape(-1)
+    egf = np.pad(
+        np.asarray(params.e_gap_flat).reshape(5, 5), ((0, 0), (0, 1))
+    ).reshape(-1).astype(np.float32)
+
+    kend = np.full(B_pad, -1, np.int32)
+    kend[:B] = (m + n).astype(np.int32)
+
+    same = bool((offsets == offsets[0]).all())
+    return {
+        "xyc": xyc,
+        "xyn": xyn,
+        "xy0": xy0,
+        "d1": d1,
+        "d2": d2,
+        "d1n": d1n,
+        "d2n2": d2n2,
+        "tf": np.asarray(params.t).reshape(-1).astype(np.float32),
+        "emf": emf,
+        "egf": egf,
+        "kend": kend.reshape(NB, 1, BT),
+        "k_pad": k_pad,
+        "B": B,
+        "K": K,
+        "NB": NB,
+        "W": W,
+        "uniform_bands": same,
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_pad", "NB", "W", "interpret"),
+)
+def _pallas_realign_call(
+    d1, d2, d1n, d2n2, tf, emf, egf, ggmg, kend, xy0, xyc, xyn,
+    k_pad, NB, W, interpret=False,
+):
+    S = k_pad // SEG
+    kernel = functools.partial(_realign_kernel, k_pad=k_pad, W=W)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec(
+                (None, 1, BT), lambda b, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, 1, W, BT), lambda b, *_: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (None, 1, BT), lambda b, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, 1, BT), lambda b, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, 25, BT), lambda b, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, 16, BT), lambda b, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, 8, BT), lambda b, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, 8, BT), lambda b, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # dirs
+            pl.BlockSpec(memory_space=pl.ANY),  # bnd
+            pl.BlockSpec(memory_space=pl.ANY),  # bscal
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2 * CHUNK, W, BT), jnp.int8),  # bufA
+            pltpu.VMEM((2 * SEG, W, BT), jnp.int8),  # bufc
+            pltpu.VMEM((2 * SEG, W, BT), jnp.int8),  # bufn
+            pltpu.VMEM((2, 10, W, BT), jnp.float32),  # bndbuf
+            pltpu.VMEM((2, 8, 1, BT), jnp.float32),  # bscalbuf
+            pltpu.VMEM((SEG * 5, W, BT), jnp.float32),  # f_buf
+            pltpu.VMEM((SEG, 1, BT), jnp.float32),  # lsf_buf
+            pltpu.VMEM((5, W, BT), jnp.float32),  # sA
+            pltpu.VMEM((5, W, BT), jnp.float32),  # sB
+            pltpu.VMEM((5, W, BT), jnp.float32),  # bwd1
+            pltpu.VMEM((5, W, BT), jnp.float32),  # bwd2
+            pltpu.VMEM((57, W, BT), jnp.float32),  # em_buf
+            pltpu.VMEM((6, W, BT), jnp.float32),  # mea_buf
+            pltpu.VMEM((8, 1, BT), jnp.float32),  # scal
+            pltpu.VMEM((2 * SEG, W, BT), jnp.int8),  # dirs_buf
+            pltpu.SemaphoreType.DMA((4, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct((NB, 1, BT), jnp.float32),  # loglik
+        jax.ShapeDtypeStruct((NB, 1, BT), jnp.float32),  # score
+        jax.ShapeDtypeStruct((NB, 25, BT), jnp.float32),  # trans
+        jax.ShapeDtypeStruct((NB, 16, BT), jnp.float32),  # e16
+        jax.ShapeDtypeStruct((NB, 8, BT), jnp.float32),  # edel
+        jax.ShapeDtypeStruct((NB, 8, BT), jnp.float32),  # eins
+        jax.ShapeDtypeStruct((NB * (k_pad + 1), W, BT), jnp.int8),  # dirs
+        jax.ShapeDtypeStruct((NB * S * 10, W, BT), jnp.float32),  # bnd
+        jax.ShapeDtypeStruct((NB * S, 8, 1, BT), jnp.float32),  # bscal
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(d1, d2, d1n, d2n2, tf, emf, egf, ggmg, kend, xy0, xyc, xyn)
+    loglik, score, trans, e16, edel, eins, dirs, _, _ = outs
+
+    def lanes(x):  # (NB, R, BT) -> (NB*BT, R)
+        return jnp.transpose(x, (0, 2, 1)).reshape(x.shape[0] * BT, -1)
+
+    trans_b = lanes(trans).reshape(-1, 5, 5)
+    e16_b = lanes(e16)
+    edel_b = lanes(edel)
+    eins_b = lanes(eins)
+    emis = jnp.zeros((e16_b.shape[0], 5, 16), jnp.float32)
+    emis = emis.at[:, 0, :].set(e16_b)
+    emis = emis.at[:, 1, :].set(
+        jnp.repeat(edel_b[:, 0:4] / 4.0, 4, axis=1)
+    )
+    emis = emis.at[:, 3, :].set(
+        jnp.repeat(edel_b[:, 4:8] / 4.0, 4, axis=1)
+    )
+    emis = emis.at[:, 2, :].set(jnp.tile(eins_b[:, 0:4] / 4.0, (1, 4)))
+    emis = emis.at[:, 4, :].set(jnp.tile(eins_b[:, 4:8] / 4.0, (1, 4)))
+    dirs_b = jnp.transpose(
+        dirs.reshape(NB, k_pad + 1, W, BT), (0, 3, 1, 2)
+    ).reshape(-1, k_pad + 1, W)
+    return {
+        "loglik": lanes(loglik)[:, 0],
+        "score": lanes(score)[:, 0],
+        "trans": trans_b,
+        "emis": emis,
+        "dirs": dirs_b,
+    }
+
+
+class PallasRealignPlan:
+    """Device-resident inputs for the fused realign kernel.
+
+    The host repack (prepare_pallas_realign) costs seconds for large
+    batches — build the plan ONCE per batch and call run() repeatedly;
+    run() is a single jitted pallas_call plus a cheap output reshuffle.
+    """
+
+    def __init__(
+        self,
+        batch: BandedBatch,
+        params: KernelParams,
+        gap_gamma: float = 0.5,
+        match_gamma: float = 0.0,
+    ):
+        prep = prepare_pallas_realign(batch, params)
+        if not prep["uniform_bands"]:
+            raise ValueError(
+                "pallas realign requires identical band offsets across "
+                "the batch; use ops.mea.realign_fused"
+            )
+        self.arrays = tuple(
+            jnp.asarray(prep[k])
+            for k in ("d1", "d2", "d1n", "d2n2", "tf", "emf", "egf")
+        ) + (
+            jnp.asarray(np.array([gap_gamma, match_gamma], np.float32)),
+            jnp.asarray(prep["kend"]),
+            jnp.asarray(prep["xy0"]),
+            jnp.asarray(prep["xyc"]),
+            jnp.asarray(prep["xyn"]),
+        )
+        self.k_pad = prep["k_pad"]
+        self.B = prep["B"]
+        self.K = prep["K"]
+        self.NB = prep["NB"]
+        self.W = prep["W"]
+
+    def run(self, interpret: bool = False) -> dict:
+        out = _pallas_realign_call(
+            *self.arrays, self.k_pad, self.NB, self.W, interpret
+        )
+        B, K = self.B, self.K
+        return {
+            "loglik": out["loglik"][:B],
+            "score": out["score"][:B],
+            "trans": out["trans"][:B],
+            "emis": out["emis"][:B],
+            "dirs": out["dirs"][:B, : K + 1],
+        }
+
+
+def pallas_realign_fused(
+    batch: BandedBatch,
+    params: KernelParams,
+    gap_gamma: float = 0.5,
+    match_gamma: float = 0.0,
+    interpret: bool = False,
+) -> dict:
+    """Fused realign via the Pallas kernel: loglik/trans/emis/score/dirs.
+
+    Drop-in equivalent of ops.mea.realign_fused for batches with uniform
+    band geometry (raises otherwise); dirs point forward (use
+    ops.mea.mea_traceback_fwd).  Prefer PallasRealignPlan when calling
+    repeatedly on one batch.
+    """
+    return PallasRealignPlan(
+        batch, params, gap_gamma, match_gamma
+    ).run(interpret)

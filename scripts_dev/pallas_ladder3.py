@@ -78,10 +78,10 @@ def mk_trivial(n_iter):
 
 
 def mk_smem_static(n_iter):
-    def k(tf_ref, xy_hbm, out_ref, s):
+    def k(tf_ref, xy_hbm, out_ref, s, s2):
         def body(t, _):
             acc = s[0]
-            v = s[1]
+            v = s2[0]
             for i in range(70):
                 acc = acc + tf_ref[i % 25] * v
             s[0] = acc * 0.5

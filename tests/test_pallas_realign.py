@@ -1,0 +1,131 @@
+"""Pallas fused realign kernel vs the XLA realign_fused (interpret mode).
+
+Interpret mode evaluates the kernel op-by-op in Python, so the sizes
+here are tiny and the module's CHUNK/SEG constants are patched down
+(this is a fresh-process patch: the jit static cache keys don't include
+them, but each pytest process only ever uses one setting).
+"""
+
+import numpy as np
+import pytest
+
+from nanopore_tpu.align.model import PairHmmModel
+from nanopore_tpu.io.sam import CIG, cigar_to_string
+from nanopore_tpu.ops.pairhmm import (
+    make_kernel_params,
+    prepare_banded_batch,
+)
+from nanopore_tpu.ops.mea import mea_traceback_fwd, realign_fused
+import nanopore_tpu.ops.pairhmm_pallas_realign as ppr
+from nanopore_tpu.ops.pairhmm_pallas_realign import pallas_realign_fused
+
+
+@pytest.fixture(scope="module", autouse=True)
+def small_kernel_geometry():
+    old_chunk, old_seg = ppr.CHUNK, ppr.SEG
+    ppr.CHUNK = 8
+    ppr.SEG = 4
+    yield
+    ppr.CHUNK, ppr.SEG = old_chunk, old_seg
+
+
+@pytest.fixture(scope="module")
+def params():
+    return make_kernel_params(PairHmmModel.default())
+
+
+def uniform_pairs(rng, B, L, mutate=True):
+    pairs = []
+    for _ in range(B):
+        x = rng.integers(0, 4, L).astype(np.int8)
+        y = x.copy()
+        if mutate:
+            idx = rng.integers(0, L, max(1, L // 10))
+            y[idx] = (y[idx] + 1) % 4
+        pairs.append((x, y, [(CIG.M, L)]))
+    return pairs
+
+
+class TestPallasRealign:
+    def test_matches_xla_fused(self, params):
+        rng = np.random.default_rng(7)
+        pairs = uniform_pairs(rng, 3, 14)
+        batch = prepare_banded_batch(pairs, band_width=8)
+        want = realign_fused(batch, params, segment_size=8)
+        got = pallas_realign_fused(batch, params, interpret=True)
+
+        np.testing.assert_allclose(
+            np.asarray(got["loglik"]), np.asarray(want["loglik"]), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["score"]), np.asarray(want["score"]),
+            rtol=1e-4, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["trans"]), np.asarray(want["trans"]),
+            rtol=2e-3, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["emis"]), np.asarray(want["emis"]),
+            rtol=2e-3, atol=1e-5,
+        )
+        offsets = np.asarray(batch.offsets)
+        for b, (x, y, _) in enumerate(pairs):
+            m, n = len(y), len(x)
+            want_cig = mea_traceback_fwd(
+                np.asarray(want["dirs"])[b], offsets[b], m, n
+            )
+            got_cig = mea_traceback_fwd(
+                np.asarray(got["dirs"])[b], offsets[b], m, n
+            )
+            assert cigar_to_string(got_cig) == cigar_to_string(want_cig)
+
+    def test_with_n_bases_and_indel_guide(self, params):
+        """N bases and a guide with a D run (non-straight band)."""
+        rng = np.random.default_rng(11)
+        L = 16
+        pairs = []
+        for _ in range(2):
+            x = rng.integers(0, 4, L).astype(np.int8)
+            y = x[: L - 4].copy()
+            y[5] = 4  # N in read
+            guide = [(CIG.M, L - 4), (CIG.D, 4)]
+            pairs.append((x, y, guide))
+        pairs[0][0][3] = 4  # N in ref
+        batch = prepare_banded_batch(pairs, band_width=8)
+        want = realign_fused(batch, params, segment_size=8)
+        got = pallas_realign_fused(batch, params, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got["loglik"]), np.asarray(want["loglik"]), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["trans"]), np.asarray(want["trans"]),
+            rtol=2e-3, atol=1e-5,
+        )
+        offsets = np.asarray(batch.offsets)
+        for b, (x, y, _) in enumerate(pairs):
+            m, n = len(y), len(x)
+            cig = mea_traceback_fwd(
+                np.asarray(got["dirs"])[b], offsets[b], m, n
+            )
+            assert sum(l for op, l in cig if op in (CIG.M, CIG.I)) == m
+            assert sum(l for op, l in cig if op in (CIG.M, CIG.D)) == n
+
+    @pytest.mark.skipif(
+        not __import__("os").environ.get("NANOPORE_TPU_SLOW_TESTS"),
+        reason="interpret-mode eval is ~3 min; set NANOPORE_TPU_SLOW_TESTS=1",
+    )
+    def test_long_lattice(self, params):
+        """K spanning many phase-A DMA chunks and segments (slow)."""
+        rng = np.random.default_rng(13)
+        pairs = uniform_pairs(rng, 2, 30)
+        batch = prepare_banded_batch(pairs, band_width=8)
+        want = realign_fused(batch, params, segment_size=8)
+        got = pallas_realign_fused(batch, params, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got["loglik"]), np.asarray(want["loglik"]), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["emis"]), np.asarray(want["emis"]),
+            rtol=2e-3, atol=1e-5,
+        )
