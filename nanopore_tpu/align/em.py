@@ -18,8 +18,11 @@ match emissions to GC 0.5 (utils.py:531-538).
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 from nanopore_tpu.align.model import PairHmmModel
 from nanopore_tpu.io.encoding import encode
@@ -48,6 +51,13 @@ class EmOptions:
     # stores the O(K) forward lattice, so memory is O(K/seg + seg) and
     # long reads train at full batch (see ops.pairhmm.em_expectations)
     remat_segment: int = 512
+    # mid-training checkpoint/resume (SURVEY.md section 5): HMM params +
+    # trial/iteration indices + traces saved every `checkpoint_every`
+    # iterations; a restarted run resumes from the file instead of
+    # retraining (the reference only resumes at whole-model granularity,
+    # utils.py:527-528)
+    checkpoint_path: str | None = None
+    checkpoint_every: int = 10
 
 
 @dataclass
@@ -55,6 +65,31 @@ class EmResult:
     model: PairHmmModel  # best trial, unnormalised
     trial_models: list[PairHmmModel]
     running_likelihoods: list[list[float]]
+
+
+def save_em_checkpoint(path: str, state: dict) -> None:
+    """Atomically persist EM training state (arrays + JSON metadata)."""
+    arrays = {k: v for k, v in state.items() if isinstance(v, np.ndarray)}
+    meta = {k: v for k, v in state.items() if not isinstance(v, np.ndarray)}
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        np.savez(fh, __meta__=json.dumps(meta), **arrays)
+    os.replace(tmp, path)
+
+
+def load_em_checkpoint(path: str) -> dict | None:
+    """Load an EM checkpoint written by save_em_checkpoint, or None."""
+    if not path or not os.path.exists(path):
+        return None
+    try:
+        with np.load(path, allow_pickle=False) as npz:
+            state = {
+                k: np.asarray(npz[k]) for k in npz.files if k != "__meta__"
+            }
+            state.update(json.loads(str(npz["__meta__"])))
+        return state
+    except Exception:
+        return None  # corrupt/partial checkpoint: retrain from scratch
 
 
 def _m_step(
@@ -108,11 +143,79 @@ def em_train(
 
     trial_models: list[PairHmmModel] = []
     running: list[list[float]] = []
-    for _trial in range(opts.trials):
-        model = PairHmmModel.random(rng)
-        trace: list[float] = []
-        prev_ll = None
-        for _it in range(opts.iterations):
+    ck = (
+        load_em_checkpoint(opts.checkpoint_path)
+        if opts.checkpoint_path
+        else None
+    )
+    start_trial, start_iter = 0, 0
+    resumed_model = None
+    resumed_trace: list[float] = []
+    resumed_prev = None
+    if ck is not None and int(ck.get("trials", -1)) == opts.trials:
+        start_trial = int(ck["trial"])
+        start_iter = int(ck["iteration"])
+        # one PairHmmModel.random draw per STARTED trial keeps the rng
+        # stream identical to an uninterrupted run (iteration 0 means the
+        # trial has not drawn its random init yet)
+        started = start_trial + (1 if start_iter > 0 else 0)
+        replay = [PairHmmModel.random(rng) for _ in range(started)]
+        del replay
+        for d in range(start_trial):
+            mm = PairHmmModel(
+                transitions=np.asarray(ck["done_t"][d], np.float64),
+                emissions=np.asarray(ck["done_e"][d], np.float64),
+                likelihood=float(ck["done_ll"][d]),
+            )
+            trial_models.append(mm)
+            running.append(list(ck["traces"][d]))
+        if start_iter > 0:
+            resumed_model = PairHmmModel(
+                transitions=np.asarray(ck["t"], np.float64),
+                emissions=np.asarray(ck["e"], np.float64),
+                likelihood=float(ck["likelihood"]),
+            )
+            resumed_trace = list(ck["traces"][start_trial])
+            resumed_prev = ck["prev_ll"]
+
+    def _dump(trial, iteration, model, trace, prev_ll):
+        if not opts.checkpoint_path:
+            return
+        save_em_checkpoint(
+            opts.checkpoint_path,
+            {
+                "trials": opts.trials,
+                "trial": trial,
+                "iteration": iteration,
+                "t": np.asarray(model.transitions, np.float64),
+                "e": np.asarray(model.emissions, np.float64),
+                "likelihood": float(model.likelihood or 0.0),
+                "prev_ll": prev_ll,
+                "done_t": np.stack(
+                    [mm.transitions for mm in trial_models]
+                )
+                if trial_models
+                else np.zeros((0, 5, 5)),
+                "done_e": np.stack([mm.emissions for mm in trial_models])
+                if trial_models
+                else np.zeros((0, 5, 16)),
+                "done_ll": [float(mm.likelihood) for mm in trial_models],
+                "traces": running + [trace],
+            },
+        )
+
+    for trial in range(start_trial, opts.trials):
+        if trial == start_trial and resumed_model is not None:
+            model = resumed_model
+            trace = resumed_trace
+            prev_ll = resumed_prev
+            it0 = start_iter
+        else:
+            model = PairHmmModel.random(rng)
+            trace = []
+            prev_ll = None
+            it0 = 0
+        for it in range(it0, opts.iterations):
             params = make_kernel_params(model)
             trans = np.zeros((5, 5))
             emis = np.zeros((5, 16))
@@ -132,8 +235,14 @@ def em_train(
             ):
                 break
             prev_ll = loglik
+            if (it + 1) % opts.checkpoint_every == 0:
+                _dump(trial, it + 1, model, trace, prev_ll)
         trial_models.append(model)
         running.append(trace)
+        if trial + 1 < opts.trials:
+            _dump(trial + 1, 0, model, [], None)
+    if opts.checkpoint_path and os.path.exists(opts.checkpoint_path):
+        os.remove(opts.checkpoint_path)  # training complete
 
     best = max(trial_models, key=lambda mm: mm.likelihood)
     return EmResult(
@@ -165,6 +274,8 @@ def _em_train_sharded(kept, opts: EmOptions) -> EmResult:
         seed=opts.seed,
         convergence_tol=opts.convergence_tol,
         weights=weights,
+        checkpoint_path=opts.checkpoint_path,
+        checkpoint_every=opts.checkpoint_every,
     )
     # per-trial final models are not retained by the sharded path beyond
     # the winner; replicate it so downstream XML averaging still works
@@ -199,6 +310,14 @@ def learn_model_from_sam_file(
         x = encode(ref_seqs[rec.rname])
         y = encode(rec.seq)
         pairs.append((x, y, rec.cigar))
+    options = options or EmOptions()
+    if options.checkpoint_path is None:
+        # mid-training resume by default: a killed/restarted pipeline
+        # picks EM up at the last checkpointed (trial, iteration) instead
+        # of retraining (file removed on completion)
+        options = replace(
+            options, checkpoint_path=output_model_path + ".ckpt.npz"
+        )
     result = em_train(pairs, options)
 
     unnormalised = result.model

@@ -116,11 +116,20 @@ def sharded_em_train(
     seed: int = 0,
     convergence_tol: float = 1e-4,
     weights: np.ndarray | None = None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 10,
 ) -> tuple[PairHmmModel, list[list[float]]]:
     """Multi-trial EM over a prepared batch on a device mesh.
 
     Returns (best unnormalised model, per-trial running likelihoods).
+    All trials advance together (they are a mesh axis), so a checkpoint
+    is one (iteration, per-trial params, traces) snapshot.
     """
+    from nanopore_tpu.align.em import (
+        load_em_checkpoint,
+        save_em_checkpoint,
+    )
+
     rng = np.random.default_rng(seed)
     models = [PairHmmModel.random(rng) for _ in range(trials)]
     t = np.stack([mm.transitions for mm in models]).astype(np.float32)
@@ -138,7 +147,15 @@ def sharded_em_train(
     )
     traces: list[list[float]] = [[] for _ in range(trials)]
     prev = None
-    for _ in range(iterations):
+    start_iter = 0
+    ck = load_em_checkpoint(checkpoint_path) if checkpoint_path else None
+    if ck is not None and int(ck.get("trials", -1)) == trials:
+        start_iter = int(ck["iteration"])
+        t = np.asarray(ck["t"], np.float32)
+        e = np.asarray(ck["e"], np.float32)
+        traces = [list(tr) for tr in ck["traces"]]
+        prev = ck["prev_ll"]
+    for it in range(start_iter, iterations):
         t_new, e_new, ll = step((t, e), arrays)
         ll = np.asarray(ll)
         t, e = np.asarray(t_new), np.asarray(e_new)
@@ -150,6 +167,23 @@ def sharded_em_train(
         ):
             break
         prev = total
+        if checkpoint_path and (it + 1) % checkpoint_every == 0:
+            save_em_checkpoint(
+                checkpoint_path,
+                {
+                    "trials": trials,
+                    "iteration": it + 1,
+                    "t": np.asarray(t, np.float64),
+                    "e": np.asarray(e, np.float64),
+                    "traces": traces,
+                    "prev_ll": prev,
+                },
+            )
+    if checkpoint_path:
+        import os
+
+        if os.path.exists(checkpoint_path):
+            os.remove(checkpoint_path)
     best = int(np.argmax([tr[-1] for tr in traces]))
     model = PairHmmModel(
         transitions=np.asarray(t[best], np.float64),

@@ -142,7 +142,27 @@ def build_experiments(
 def run_pipeline(
     working_dir: str, config: PipelineConfig | None = None
 ) -> str:
-    """Run the full pipeline; returns the output directory."""
+    """Run the full pipeline; returns the output directory.
+
+    Tracing: set ``NANOPORE_TPU_PROFILE=<dir>`` to capture a JAX
+    profiler trace (host + device timelines, viewable in TensorBoard /
+    Perfetto) of the whole run — the analogue of the reference's
+    always-on jobTree ``--stats`` (reference nanopore/pipeline.sh:9);
+    per-task wall/CPU stats land in output/pipeline_stats.json either
+    way (runtime/scheduler.py).
+    """
+    profile_dir = os.environ.get("NANOPORE_TPU_PROFILE")
+    if profile_dir:
+        import jax
+
+        with jax.profiler.trace(profile_dir):
+            return _run_pipeline_impl(working_dir, config)
+    return _run_pipeline_impl(working_dir, config)
+
+
+def _run_pipeline_impl(
+    working_dir: str, config: PipelineConfig | None = None
+) -> str:
     config = config or PipelineConfig()
     for mapper in config.mappers:
         assert mapper in MAPPER_REGISTRY, "unknown mapper %s" % mapper

@@ -196,3 +196,118 @@ class TestEmMesh:
         )
         for trace in result.running_likelihoods:
             assert trace[-1] > trace[0]
+
+
+class TestEmCheckpoint:
+    """Mid-training checkpoint/resume (SURVEY.md section 5 aux plan)."""
+
+    def _pairs(self, rng, n_pairs=3, n=120):
+        pairs = []
+        for _ in range(n_pairs):
+            ref, read, cigar = simulate_alignment(rng, n=n)
+            pairs.append((ref, read, cigar))
+        return pairs
+
+    def test_resume_matches_uninterrupted(self, tmp_path, monkeypatch):
+        """Kill EM mid-trial; the resumed run reproduces the full run."""
+        import nanopore_tpu.align.em as em_mod
+
+        rng = np.random.default_rng(11)
+        pairs = self._pairs(rng)
+        ck = str(tmp_path / "em.ckpt.npz")
+
+        def run(interrupt_after=None, resume=False):
+            opts = EmOptions(
+                trials=2, iterations=6, band_width=48, seed=3,
+                convergence_tol=0.0, checkpoint_path=ck,
+                checkpoint_every=1,
+            )
+            real = em_mod.em_expectations
+            calls = {"n": 0}
+
+            def counting(*a, **kw):
+                calls["n"] += 1
+                if interrupt_after is not None and calls["n"] > interrupt_after:
+                    raise KeyboardInterrupt
+                return real(*a, **kw)
+
+            monkeypatch.setattr(em_mod, "em_expectations", counting)
+            try:
+                return em_train(pairs, opts)
+            finally:
+                monkeypatch.setattr(em_mod, "em_expectations", real)
+
+        expected = run()  # uninterrupted (ckpt written then removed)
+        import os
+
+        assert not os.path.exists(ck)
+
+        # interrupt partway through trial 1 (after trial 0 completed)
+        with pytest.raises(KeyboardInterrupt):
+            run(interrupt_after=8)
+        assert os.path.exists(ck)
+
+        resumed = run()  # resumes from the checkpoint
+        assert not os.path.exists(ck)
+        np.testing.assert_allclose(
+            resumed.model.transitions, expected.model.transitions,
+            rtol=1e-12,
+        )
+        np.testing.assert_allclose(
+            resumed.model.emissions, expected.model.emissions, rtol=1e-12
+        )
+        assert resumed.running_likelihoods == expected.running_likelihoods
+
+    def test_sharded_resume(self, tmp_path, monkeypatch):
+        """Sharded EM resumes from a snapshot to the same trajectory."""
+        import os
+
+        import nanopore_tpu.parallel.sharded_em as sem
+        from nanopore_tpu.ops.pairhmm import prepare_banded_batch
+        from nanopore_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(12)
+        pairs = self._pairs(rng, n_pairs=4, n=100)
+        batch = prepare_banded_batch(pairs, band_width=32)
+        mesh = make_mesh(n_trials=2)
+        ck = str(tmp_path / "sem.ckpt.npz")
+        kwargs = dict(trials=2, iterations=5, seed=5, convergence_tol=0.0)
+
+        expected_model, expected_traces = sem.sharded_em_train(
+            batch, mesh, **kwargs
+        )
+
+        # crash on the 4th iteration: the iteration-2 checkpoint survives
+        real_factory = sem.make_sharded_em_step
+
+        def factory(mesh_, bw):
+            real_step = real_factory(mesh_, bw)
+            calls = {"n": 0}
+
+            def step(tm, arrs):
+                calls["n"] += 1
+                if calls["n"] > 3:
+                    raise KeyboardInterrupt
+                return real_step(tm, arrs)
+
+            return step
+
+        monkeypatch.setattr(sem, "make_sharded_em_step", factory)
+        with pytest.raises(KeyboardInterrupt):
+            sem.sharded_em_train(
+                batch, mesh, checkpoint_path=ck, checkpoint_every=2,
+                **kwargs,
+            )
+        monkeypatch.setattr(sem, "make_sharded_em_step", real_factory)
+        assert os.path.exists(ck)
+
+        resumed_model, resumed_traces = sem.sharded_em_train(
+            batch, mesh, checkpoint_path=ck, checkpoint_every=2, **kwargs
+        )
+        assert not os.path.exists(ck)
+        for tr_r, tr_e in zip(resumed_traces, expected_traces):
+            np.testing.assert_allclose(tr_r, tr_e, rtol=1e-6)
+        np.testing.assert_allclose(
+            resumed_model.transitions, expected_model.transitions,
+            rtol=1e-6,
+        )
