@@ -483,7 +483,17 @@ def _realign_kernel(
         )
         for kl in range(SEG - 1, -1, -1):
             carry, choice = bwd_diag_step(k0 + kl + 1, kl, slot, carry)
-            dirs_buf[slot * SEG + kl] = choice
+            # dirs_buf[slot*SEG + kl] = choice with a TRACED slot is the
+            # kernel's only traced-index scratch WRITE; keep stores
+            # static-indexed under a predicate instead (traced int8
+            # stores miscompiled on v5e, corrupting adjacent scratch)
+            @pl.when(slot == 0)
+            def _store0(choice=choice, kl=kl):
+                dirs_buf[kl] = choice
+
+            @pl.when(slot == 1)
+            def _store1(choice=choice, kl=kl):
+                dirs_buf[SEG + kl] = choice
 
         for st in range(NUM_STATES):
             bwd1[st] = carry[0][st]
