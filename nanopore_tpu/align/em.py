@@ -71,10 +71,60 @@ def save_em_checkpoint(path: str, state: dict) -> None:
     """Atomically persist EM training state (arrays + JSON metadata)."""
     arrays = {k: v for k, v in state.items() if isinstance(v, np.ndarray)}
     meta = {k: v for k, v in state.items() if not isinstance(v, np.ndarray)}
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as fh:
-        np.savez(fh, __meta__=json.dumps(meta), **arrays)
-    os.replace(tmp, path)
+    # pid-suffixed tmp name: two runs sharing an output path (or a
+    # retried scheduler task overlapping a hung predecessor) must not
+    # interleave writes into the same tmp file
+    tmp = "%s.%d.tmp" % (path, os.getpid())
+    try:
+        with open(tmp, "wb") as fh:
+            np.savez(fh, __meta__=json.dumps(meta), **arrays)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
+def em_fingerprint(
+    pairs, opts: "EmOptions", sharded: bool = False
+) -> dict:
+    """Config+data fingerprint stored in checkpoints: a resume is only
+    valid when it was written by a run with identical inputs (ADVICE
+    round-1: resuming across changed SAM/seed/band silently produced a
+    model trained on the old configuration)."""
+    import zlib
+
+    crc = 0
+    for x, y, _ in pairs:
+        crc = zlib.crc32(np.ascontiguousarray(x[:128]).tobytes(), crc)
+        crc = zlib.crc32(np.ascontiguousarray(y[:128]).tobytes(), crc)
+        crc = zlib.crc32(
+            np.array([len(x), len(y)], np.int64).tobytes(), crc
+        )
+    return {
+        "format": "sharded" if sharded else "per_trial",
+        "trials": opts.trials,
+        "iterations": opts.iterations,
+        "seed": opts.seed,
+        "band_width": opts.band_width,
+        "pseudocount": opts.pseudocount,
+        "n_pairs": len(pairs),
+        "data_crc": crc,
+    }
+
+
+def checkpoint_matches(ck: dict | None, fp: dict) -> bool:
+    """True when a loaded checkpoint carries exactly fingerprint fp."""
+    if ck is None:
+        return False
+    if any(ck.get(k) != v for k, v in fp.items()):
+        import logging
+
+        logging.getLogger("nanopore_tpu").warning(
+            "EM checkpoint fingerprint mismatch (stale config/data); "
+            "ignoring checkpoint and retraining from scratch"
+        )
+        return False
+    return True
 
 
 def load_em_checkpoint(path: str) -> dict | None:
@@ -143,16 +193,19 @@ def em_train(
 
     trial_models: list[PairHmmModel] = []
     running: list[list[float]] = []
+    fingerprint = em_fingerprint(kept, opts)
     ck = (
         load_em_checkpoint(opts.checkpoint_path)
         if opts.checkpoint_path
         else None
     )
+    if not checkpoint_matches(ck, fingerprint):
+        ck = None
     start_trial, start_iter = 0, 0
     resumed_model = None
     resumed_trace: list[float] = []
     resumed_prev = None
-    if ck is not None and int(ck.get("trials", -1)) == opts.trials:
+    if ck is not None:
         start_trial = int(ck["trial"])
         start_iter = int(ck["iteration"])
         # one PairHmmModel.random draw per STARTED trial keeps the rng
@@ -184,7 +237,7 @@ def em_train(
         save_em_checkpoint(
             opts.checkpoint_path,
             {
-                "trials": opts.trials,
+                **fingerprint,
                 "trial": trial,
                 "iteration": iteration,
                 "t": np.asarray(model.transitions, np.float64),
@@ -266,7 +319,7 @@ def _em_train_sharded(kept, opts: EmOptions) -> EmResult:
     )
     padded = kept + [kept[0]] * pad
     batch = prepare_banded_batch(padded, band_width=opts.band_width)
-    model, traces = sharded_em_train(
+    model, trial_models, traces = sharded_em_train(
         batch,
         mesh,
         trials=opts.trials,
@@ -276,12 +329,12 @@ def _em_train_sharded(kept, opts: EmOptions) -> EmResult:
         weights=weights,
         checkpoint_path=opts.checkpoint_path,
         checkpoint_every=opts.checkpoint_every,
+        fingerprint=em_fingerprint(kept, opts, sharded=True),
+        pseudocount=opts.pseudocount,
     )
-    # per-trial final models are not retained by the sharded path beyond
-    # the winner; replicate it so downstream XML averaging still works
     return EmResult(
         model=model,
-        trial_models=[model],
+        trial_models=trial_models,
         running_likelihoods=traces,
     )
 

@@ -76,12 +76,17 @@ class MappingEngine:
         ref_dict: dict[str, str],
         config: MapperConfig | None = None,
         model: PairHmmModel | None = None,
+        index: KmerIndex | None = None,
     ):
         self.config = config or MapperConfig()
         self.ref_dict = ref_dict
-        self.index = KmerIndex.build(
-            ref_dict, k=self.config.k, max_occ=self.config.max_occ
-        )
+        if index is not None:
+            assert index.k == self.config.k
+            self.index = index
+        else:
+            self.index = KmerIndex.build(
+                ref_dict, k=self.config.k, max_occ=self.config.max_occ
+            )
         self.params = make_kernel_params(model or PairHmmModel.default())
 
     # ------------------------------------------------------------------ #

@@ -26,7 +26,14 @@ from nanopore_tpu.mapping.presets import (
 
 logger = logging.getLogger("nanopore_tpu")
 
-_ENGINE_CACHE: dict[tuple, MappingEngine] = {}
+# Cache only the expensive, truly shareable artifact (the k-mer index,
+# keyed by what determines it); each call gets its OWN engine so two
+# presets sharing (k, max_occ) but differing in chain-score/decode
+# settings can run concurrently on scheduler threads without stomping
+# each other's config (round-1 race: engines were cached and their
+# .config mutated in place).
+_INDEX_CACHE: dict[tuple, tuple[dict, object]] = {}
+_INDEX_LOCK = __import__("threading").Lock()
 
 
 def _engine_for(reference_fasta_file: str, spec: MapperSpec) -> MappingEngine:
@@ -35,13 +42,19 @@ def _engine_for(reference_fasta_file: str, spec: MapperSpec) -> MappingEngine:
         spec.config.k,
         spec.config.max_occ,
     )
-    if key not in _ENGINE_CACHE:
-        ref = read_fasta_dict(reference_fasta_file)
-        _ENGINE_CACHE[key] = MappingEngine(ref, spec.config)
-    engine = _ENGINE_CACHE[key]
-    # chaining thresholds can differ between specs sharing an index
-    engine.config = spec.config
-    return engine
+    with _INDEX_LOCK:
+        cached = _INDEX_CACHE.get(key)
+        if cached is None:
+            from nanopore_tpu.mapping.index import KmerIndex
+
+            ref = read_fasta_dict(reference_fasta_file)
+            index = KmerIndex.build(
+                ref, k=spec.config.k, max_occ=spec.config.max_occ
+            )
+            cached = (ref, index)
+            _INDEX_CACHE[key] = cached
+    ref, index = cached
+    return MappingEngine(ref, spec.config, index=index)
 
 
 def trained_model_path(name: str) -> str:

@@ -81,7 +81,7 @@ def em_train_step(
     return jax.vmap(one_trial)(transitions, emissions)
 
 
-def make_sharded_em_step(mesh, band_width: int):
+def make_sharded_em_step(mesh, band_width: int, pseudocount: float = 1e-6):
     """Bind em_train_step to a mesh with (dp, trial) shardings."""
     trial_s = NamedSharding(mesh, P(TRIAL_AXIS))
     dp_s = NamedSharding(mesh, P(DP_AXIS))
@@ -102,7 +102,8 @@ def make_sharded_em_step(mesh, band_width: int):
         k_end = jax.device_put(k_end, dp_s)
         w = jax.device_put(w, dp_s)
         return em_train_step(
-            t, e, xc, yc, xn, yn, offsets, m, n, k_end, w, band_width
+            t, e, xc, yc, xn, yn, offsets, m, n, k_end, w, band_width,
+            pseudocount=pseudocount,
         )
 
     return step
@@ -118,14 +119,21 @@ def sharded_em_train(
     weights: np.ndarray | None = None,
     checkpoint_path: str | None = None,
     checkpoint_every: int = 10,
-) -> tuple[PairHmmModel, list[list[float]]]:
+    fingerprint: dict | None = None,
+    pseudocount: float = 1e-6,
+) -> tuple[PairHmmModel, list[PairHmmModel], list[list[float]]]:
     """Multi-trial EM over a prepared batch on a device mesh.
 
-    Returns (best unnormalised model, per-trial running likelihoods).
-    All trials advance together (they are a mesh axis), so a checkpoint
-    is one (iteration, per-trial params, traces) snapshot.
+    Returns (best model, all per-trial models, per-trial running
+    likelihoods) — matching the non-mesh path's trial statistics so the
+    hmm.txt.xml across-trial avg/std (reference analyses/hmm.py:31-47)
+    stays non-degenerate in mesh mode.  All trials advance together
+    (they are a mesh axis); convergence is tracked PER TRIAL: a trial's
+    trace and final parameters freeze at its own convergence iteration,
+    and the loop stops when every trial has converged.
     """
     from nanopore_tpu.align.em import (
+        checkpoint_matches,
         load_em_checkpoint,
         save_em_checkpoint,
     )
@@ -140,54 +148,89 @@ def sharded_em_train(
         if weights is None
         else np.asarray(weights, np.float32)
     )
-    step = make_sharded_em_step(mesh, batch.band_width)
+    step = make_sharded_em_step(mesh, batch.band_width, pseudocount)
     arrays = (
         batch.xc, batch.yc, batch.xn, batch.yn, batch.offsets, batch.m,
         batch.n, batch.k_end, w,
     )
     traces: list[list[float]] = [[] for _ in range(trials)]
-    prev = None
+    prev = np.full(trials, np.nan)
+    converged = np.zeros(trials, bool)
+    final_t = t.astype(np.float64).copy()
+    final_e = e.astype(np.float64).copy()
     start_iter = 0
     ck = load_em_checkpoint(checkpoint_path) if checkpoint_path else None
-    if ck is not None and int(ck.get("trials", -1)) == trials:
+    if fingerprint is not None:
+        if not checkpoint_matches(ck, fingerprint):
+            ck = None
+    elif ck is not None and (
+        ck.get("format") != "sharded" or int(ck.get("trials", -1)) != trials
+    ):
+        ck = None
+    if ck is not None:
         start_iter = int(ck["iteration"])
         t = np.asarray(ck["t"], np.float32)
         e = np.asarray(ck["e"], np.float32)
         traces = [list(tr) for tr in ck["traces"]]
-        prev = ck["prev_ll"]
+        prev = np.asarray(ck["prev_ll_per_trial"], np.float64)
+        converged = np.asarray(ck["converged"], bool).copy()
+        final_t = np.asarray(ck["final_t"], np.float64).copy()
+        final_e = np.asarray(ck["final_e"], np.float64).copy()
     for it in range(start_iter, iterations):
         t_new, e_new, ll = step((t, e), arrays)
-        ll = np.asarray(ll)
+        ll = np.asarray(ll, np.float64)
         t, e = np.asarray(t_new), np.asarray(e_new)
         for j in range(trials):
-            traces[j].append(float(ll[j]))
-        total = float(ll.sum())
-        if prev is not None and abs(total - prev) <= convergence_tol * abs(
-            prev
-        ):
+            if not converged[j]:
+                traces[j].append(float(ll[j]))
+        newly = (
+            (~converged)
+            & ~np.isnan(prev)
+            & (np.abs(ll - prev) <= convergence_tol * np.abs(prev))
+        )
+        for j in np.nonzero(newly)[0]:
+            final_t[j] = t[j]
+            final_e[j] = e[j]
+            converged[j] = True
+        prev = np.where(converged, prev, ll)
+        if converged.all():
             break
-        prev = total
         if checkpoint_path and (it + 1) % checkpoint_every == 0:
             save_em_checkpoint(
                 checkpoint_path,
                 {
-                    "trials": trials,
+                    **(fingerprint or {"format": "sharded",
+                                       "trials": trials}),
                     "iteration": it + 1,
                     "t": np.asarray(t, np.float64),
                     "e": np.asarray(e, np.float64),
                     "traces": traces,
-                    "prev_ll": prev,
+                    "prev_ll_per_trial": prev,
+                    "converged": converged,
+                    "final_t": final_t,
+                    "final_e": final_e,
                 },
             )
+    for j in range(trials):
+        if not converged[j]:
+            final_t[j] = t[j]
+            final_e[j] = e[j]
     if checkpoint_path:
         import os
 
         if os.path.exists(checkpoint_path):
             os.remove(checkpoint_path)
-    best = int(np.argmax([tr[-1] for tr in traces]))
-    model = PairHmmModel(
-        transitions=np.asarray(t[best], np.float64),
-        emissions=np.asarray(e[best], np.float64),
-        likelihood=traces[best][-1],
+    trial_models = [
+        PairHmmModel(
+            transitions=final_t[j],
+            emissions=final_e[j],
+            likelihood=traces[j][-1] if traces[j] else 0.0,
+        )
+        for j in range(trials)
+    ]
+    best = (
+        int(np.argmax([mm.likelihood for mm in trial_models]))
+        if any(traces)
+        else 0
     )
-    return model, traces
+    return trial_models[best], trial_models, traces

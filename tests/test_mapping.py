@@ -278,3 +278,53 @@ class TestChainSam:
         assert read_len == len(read)
         # the 50bp leading ref gap must appear as a leading deletion
         assert rec.cigar[0] == (CIG.D, 50)
+
+
+class TestRunnerEngineCache:
+    def test_concurrent_presets_sharing_index(self, tmp_path):
+        """Two presets sharing (k, max_occ) must not stomp each other's
+        config when mapper tasks run on scheduler threads (round-1 race:
+        a shared cached engine's .config was mutated per call)."""
+        from concurrent.futures import ThreadPoolExecutor
+        from nanopore_tpu.io.seqio import fastq_write, fasta_write
+        from nanopore_tpu.mapping import runner
+        from nanopore_tpu.mapping.presets import MAPPER_REGISTRY
+
+        sp_a = MAPPER_REGISTRY["LastParams"]
+        sp_b = MAPPER_REGISTRY["BlasrParams"]
+        assert (sp_a.config.k, sp_a.config.max_occ) == (
+            sp_b.config.k, sp_b.config.max_occ
+        )
+        assert sp_a.config != sp_b.config  # best_n / thresholds differ
+
+        rng = np.random.default_rng(3)
+        ref = make_ref(rng, 1200)
+        fa = str(tmp_path / "ref.fa")
+        fasta_write(fa, "ref", ref)
+        fq = str(tmp_path / "r.fq")
+        with open(fq, "w") as fh:
+            for i in range(4):
+                fastq_write(
+                    fh, "read_%d" % i,
+                    noisy_copy(rng, ref[i * 200 : i * 200 + 500]), None,
+                )
+
+        def run_one(spec, out):
+            runner.run_mapper(spec, fq, "2d", fa, out)
+            return open(out).read()
+
+        # golden single-threaded outputs
+        gold_a = run_one(sp_a, str(tmp_path / "gold_a.sam"))
+        gold_b = run_one(sp_b, str(tmp_path / "gold_b.sam"))
+        assert runner._INDEX_CACHE  # the shared index really is cached
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for trial in range(3):
+                fut_a = pool.submit(
+                    run_one, sp_a, str(tmp_path / ("a%d.sam" % trial))
+                )
+                fut_b = pool.submit(
+                    run_one, sp_b, str(tmp_path / ("b%d.sam" % trial))
+                )
+                assert fut_a.result() == gold_a
+                assert fut_b.result() == gold_b

@@ -86,11 +86,13 @@ class TestShardedEm:
         batch = prepare_banded_batch(
             make_pairs(rng, 8, 80), band_width=24
         )
-        model, traces = sharded_em_train(
+        model, trial_models, traces = sharded_em_train(
             batch, mesh, trials=2, iterations=6, seed=3
         )
         for trace in traces:
             assert trace[-1] > trace[0]
+        assert len(trial_models) == 2
+        assert model.likelihood == max(m.likelihood for m in trial_models)
         np.testing.assert_allclose(
             model.transitions.sum(axis=1), 1.0, atol=1e-5
         )

@@ -196,6 +196,12 @@ class TestEmMesh:
         )
         for trace in result.running_likelihoods:
             assert trace[-1] > trace[0]
+        # per-trial models must be the real per-trial results (round-1
+        # regression: the sharded path returned [winner] only, so the
+        # hmm.txt.xml across-trial std degenerated to zero in mesh mode)
+        assert len(result.trial_models) == 2
+        t_stack = np.stack([m.transitions for m in result.trial_models])
+        assert t_stack.std(axis=0).max() > 0
 
 
 class TestEmCheckpoint:
@@ -273,15 +279,15 @@ class TestEmCheckpoint:
         ck = str(tmp_path / "sem.ckpt.npz")
         kwargs = dict(trials=2, iterations=5, seed=5, convergence_tol=0.0)
 
-        expected_model, expected_traces = sem.sharded_em_train(
-            batch, mesh, **kwargs
+        expected_model, expected_trials, expected_traces = (
+            sem.sharded_em_train(batch, mesh, **kwargs)
         )
 
         # crash on the 4th iteration: the iteration-2 checkpoint survives
         real_factory = sem.make_sharded_em_step
 
-        def factory(mesh_, bw):
-            real_step = real_factory(mesh_, bw)
+        def factory(mesh_, bw, pseudocount=1e-6):
+            real_step = real_factory(mesh_, bw, pseudocount)
             calls = {"n": 0}
 
             def step(tm, arrs):
@@ -301,8 +307,11 @@ class TestEmCheckpoint:
         monkeypatch.setattr(sem, "make_sharded_em_step", real_factory)
         assert os.path.exists(ck)
 
-        resumed_model, resumed_traces = sem.sharded_em_train(
-            batch, mesh, checkpoint_path=ck, checkpoint_every=2, **kwargs
+        resumed_model, resumed_trials, resumed_traces = (
+            sem.sharded_em_train(
+                batch, mesh, checkpoint_path=ck, checkpoint_every=2,
+                **kwargs,
+            )
         )
         assert not os.path.exists(ck)
         for tr_r, tr_e in zip(resumed_traces, expected_traces):
