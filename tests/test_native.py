@@ -110,3 +110,62 @@ class TestNativeIndex:
         assert (0, 10, 7) in spans
         assert (20, 30, 5) in spans
         assert (50, 100, 5) in spans
+
+
+class TestNativePairHmmBaseline:
+    """The single-core C++ fused realign (the measured CPU baseline for
+    bench.py) must match ops.mea.realign_fused cell for cell."""
+
+    def test_parity_with_realign_fused(self):
+        from nanopore_tpu.align.model import PairHmmModel
+        from nanopore_tpu.io.sam import CIG
+        from nanopore_tpu.ops.pairhmm import (
+            make_kernel_params,
+            prepare_banded_batch,
+        )
+        from nanopore_tpu.ops.mea import realign_fused, mea_traceback_fwd
+        from nanopore_tpu.runtime.native_pairhmm import cpu_realign_batch
+
+        rng = np.random.default_rng(3)
+        model = PairHmmModel.load("nanopore_tpu/models/blasr_hmm_0.txt")
+        params = make_kernel_params(model)
+        pairs = []
+        for L in (60, 100, 100):
+            x = rng.integers(0, 4, L).astype(np.int8)
+            keep = rng.random(L) > 0.05
+            y = x[keep]
+            sub = rng.random(len(y)) < 0.1
+            y = np.where(sub, rng.integers(0, 4, len(y)), y).astype(np.int8)
+            d = min(len(y), L)
+            guide = [(CIG.M, d)] + ([(CIG.D, L - d)] if L > d else [])
+            pairs.append((x, y, guide))
+        batch = prepare_banded_batch(pairs, band_width=16)
+        got = cpu_realign_batch(batch, params)
+        if got is None:
+            import pytest
+
+            pytest.skip("native toolchain unavailable")
+        want = {
+            k: np.asarray(v) for k, v in realign_fused(batch, params).items()
+        }
+        np.testing.assert_allclose(
+            got["loglik"], want["loglik"], rtol=2e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            got["score"], want["score"], rtol=2e-4, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            got["trans"], want["trans"], rtol=2e-3, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            got["emis"], want["emis"], rtol=2e-3, atol=1e-4
+        )
+        offsets = np.asarray(batch.offsets)
+        for b, (x, y, _) in enumerate(pairs):
+            got_cig = mea_traceback_fwd(
+                got["dirs"][b], offsets[b], len(y), len(x)
+            )
+            want_cig = mea_traceback_fwd(
+                want["dirs"][b], offsets[b], len(y), len(x)
+            )
+            assert got_cig == want_cig
