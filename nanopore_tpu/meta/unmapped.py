@@ -155,6 +155,7 @@ class ComparePerReadMappabilityByMapper(UnmappedMetaAnalysis):
             ]
             tsv = self.out(read_type + "_perReadMappability.tsv")
             sets: dict[str, set] = {m: set() for m in sorted_base}
+            universe: set = set()
             with open(tsv, "w") as fh:
                 fh.write("Read\tReadFastqFile\t")
                 fh.write("\t".join(sorted_base))
@@ -162,6 +163,7 @@ class ComparePerReadMappabilityByMapper(UnmappedMetaAnalysis):
                 for read in self.reads:
                     if read.read_type != read_type:
                         continue
+                    universe.add(read.name)
                     flags = {m: 0 for m in sorted_base}
                     if read.is_mapped:
                         for mapper, _ in read.get_map_ref_pairs():
@@ -179,5 +181,7 @@ class ComparePerReadMappabilityByMapper(UnmappedMetaAnalysis):
             from nanopore_tpu.analyses import plots
 
             plots.venn_plot(
-                sets, self.out(read_type + "_perReadMappabilityVennDiagram.pdf")
+                sets,
+                self.out(read_type + "_perReadMappabilityVennDiagram.pdf"),
+                universe=universe,
             )

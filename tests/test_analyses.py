@@ -279,3 +279,67 @@ class TestAnalysesEndToEnd:
         if os.path.exists(summary):  # native fallback path
             with open(summary) as fh:
                 assert "reads\t3" in fh.read()
+
+
+class TestVennCounts:
+    """vennCounts semantics (vennDiagram.R:63-100)."""
+
+    def test_region_counts_and_ordering(self):
+        from nanopore_tpu.analyses.plots import venn_counts
+
+        sets = {
+            "A": {"r1", "r2", "r3"},
+            "B": {"r2", "r4"},
+            "C": {"r3", "r4", "r5"},
+        }
+        universe = {"r1", "r2", "r3", "r4", "r5", "r6"}
+        rows = venn_counts(sets, universe)
+        assert len(rows) == 8
+        got = dict(rows)
+        # membership tuples follow set order (A, B, C); counts follow
+        # R's table() linearisation (last set's bit fastest)
+        assert rows[0][0] == (0, 0, 0) and rows[0][1] == 1  # r6
+        assert rows[1][0] == (0, 0, 1) and rows[1][1] == 1  # r5
+        assert got[(1, 0, 0)] == 1  # r1
+        assert got[(1, 1, 0)] == 1  # r2
+        assert got[(1, 0, 1)] == 1  # r3
+        assert got[(0, 1, 1)] == 1  # r4
+        assert got[(1, 1, 1)] == 0
+        assert sum(c for _, c in rows) == 6
+
+    def test_venn_plot_four_sets_writes_pdf(self, tmp_path):
+        from nanopore_tpu.analyses.plots import venn_plot
+
+        rng = np.random.default_rng(0)
+        names = ["Bwa", "Last", "Lastz", "Blasr"]
+        reads = ["read%d" % i for i in range(100)]
+        sets = {
+            n: {r for r in reads if rng.random() < 0.5} for n in names
+        }
+        pdf = str(tmp_path / "venn.pdf")
+        venn_plot(sets, pdf, universe=set(reads))
+        assert os.path.getsize(pdf) > 1000
+
+
+class TestResampledKs:
+    """kmer_analysis.R:16-36 statistic."""
+
+    def test_identical_distributions_not_significant(self):
+        from nanopore_tpu.analyses.plots import resampled_ks_pvalues
+
+        frac = np.full(64, 1.0 / 64)
+        p = resampled_ks_pvalues(frac, frac, num_trials=200)
+        # Bonferroni-adjusted identical distributions: nothing significant
+        assert (np.minimum(1.0, p * 64) > 0.05).all()
+
+    def test_shifted_kmer_detected(self):
+        from nanopore_tpu.analyses.plots import resampled_ks_pvalues
+
+        ref = np.full(64, 1.0 / 64)
+        read = ref.copy()
+        read[0] *= 8.0
+        read /= read.sum()
+        p = resampled_ks_pvalues(ref, read, num_trials=200)
+        assert p[0] * 64 < 0.05
+        # and the enriched k-mer is among the most significant
+        assert p[0] <= np.partition(p, 3)[3]
