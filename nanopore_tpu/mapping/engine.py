@@ -68,6 +68,8 @@ class _Candidate:
     read_codes: np.ndarray
     score: float
     primary: bool
+    chain_s1: float = 0.0  # read's best chain score
+    chain_s2: float = 0.0  # read's second-best chain score (0 if unique)
 
 
 class MappingEngine:
@@ -113,6 +115,7 @@ class MappingEngine:
             return []
         all_chains.sort(key=lambda cs: -cs[0].score)
         best_score = all_chains[0][0].score
+        second_score = all_chains[1][0].score if len(all_chains) > 1 else 0.0
         keep = [
             (c, s)
             for c, s in all_chains
@@ -146,6 +149,8 @@ class MappingEngine:
                     read_codes=codes,
                     score=chain.score,
                     primary=rank == 0,
+                    chain_s1=best_score,
+                    chain_s2=second_score,
                 )
             )
         return out
@@ -196,14 +201,76 @@ class MappingEngine:
             key = (_next_pow2(n), _next_pow2(m))
             buckets.setdefault(key, []).append(c)
 
-        records = []
+        results: list[tuple[_Candidate, SamRecord, float]] = []
         for (n_pad, m_pad), group in buckets.items():
             for i in range(0, len(group), cfg.batch_size):
                 sub = group[i : i + cfg.batch_size]
-                records.extend(self._align_batch(sub, n_pad, m_pad, quals))
+                results.extend(self._align_batch(sub, n_pad, m_pad, quals))
+        by_read: dict[str, list[tuple[_Candidate, SamRecord, float]]] = {}
+        for item in results:
+            by_read.setdefault(item[0].name, []).append(item)
+        records = []
+        for items in by_read.values():
+            self._assign_mapq(items)
+            records.extend(rec for _, rec, _ in items)
         return records
 
-    def _align_batch(self, sub, n_pad, m_pad, quals) -> list[SamRecord]:
+    def _assign_mapq(
+        self, items: list[tuple[_Candidate, SamRecord, float]]
+    ) -> None:
+        """Calibrated mapping quality for one read's placements.
+
+        The reference emits the aligners' own MAPQs (e.g. ``bwa mem``,
+        mappers/bwa.py:10); the unified engine derives one from the same
+        two signals those aligners use, both already computed here:
+
+        1. chain-score gap: ``60 * (1 - s2/s1)``, attenuated for weak
+           absolute support (minimap2/bwa-mem construction), covering
+           alternatives pruned before extension;
+        2. pair-HMM placement posterior: softmax over the extended
+           candidates' log-likelihoods (length-normalised to a common
+           lattice size), giving P(primary placement), hence
+           ``-10 log10(1 - p)``.
+
+        The primary record gets ``min`` of the two, clipped to [0, 60];
+        secondaries get 0 (SAM convention, as bwa emits).
+        """
+        import math
+
+        primary_q = 0
+        for c, _rec, _ll in items:
+            if not c.primary:
+                continue
+            s1, s2 = c.chain_s1, c.chain_s2
+            if s1 > 0:
+                support = min(1.0, s1 / (4.0 * self.config.min_chain_score))
+                primary_q = 60.0 * (1.0 - s2 / s1) * support
+            if len(items) >= 2:
+                lens = np.array(
+                    [
+                        len(it[0].read_codes)
+                        + (it[0].window_end - it[0].window_start)
+                        for it in items
+                    ],
+                    dtype=np.float64,
+                )
+                lls = np.array([it[2] for it in items], dtype=np.float64)
+                lls = lls / lens * lens.mean()  # common-length scale
+                p = np.exp(lls - lls.max())
+                p /= p.sum()
+                idx = next(
+                    i for i, it in enumerate(items) if it[0] is c
+                )
+                q_hmm = -10.0 * math.log10(max(1.0 - float(p[idx]), 1e-7))
+                primary_q = min(primary_q, q_hmm)
+        for c, rec, _ll in items:
+            rec.mapq = (
+                int(max(0, min(60, round(primary_q)))) if c.primary else 0
+            )
+
+    def _align_batch(
+        self, sub, n_pad, m_pad, quals
+    ) -> list[tuple[_Candidate, SamRecord, float]]:
         cfg = self.config
         pairs = []
         for c in sub:
@@ -226,7 +293,8 @@ class MappingEngine:
                 viterbi_traceback,
             )
 
-            _scores, fstates, bps = viterbi_decode_batch(batch, self.params)
+            scores, fstates, bps = viterbi_decode_batch(batch, self.params)
+            logliks = np.asarray(scores, np.float64)
             bps = np.asarray(bps)
             fstates = np.asarray(fstates)
             for b, c in enumerate(sub):
@@ -241,16 +309,17 @@ class MappingEngine:
             fused = realign_fused(
                 batch, self.params, cfg.gap_gamma, cfg.match_gamma
             )
+            logliks = np.asarray(fused["loglik"], np.float64)
             dirs = np.asarray(fused["dirs"])
             for b, c in enumerate(sub):
                 m = len(c.read_codes)
                 n = c.window_end - c.window_start
                 cigars.append(mea_traceback_fwd(dirs[b], offsets[b], m, n))
         out = []
-        for c, cigar in zip(sub, cigars):
+        for b, (c, cigar) in enumerate(zip(sub, cigars)):
             rec = self._record_from_window_cigar(c, cigar, quals)
             if rec is not None:
-                out.append(rec)
+                out.append((c, rec, float(logliks[b])))
         return out
 
     def _record_from_window_cigar(
@@ -294,7 +363,7 @@ class MappingEngine:
             flag=flag,
             rname=self.index.contig_names[c.contig],
             pos=pos,
-            mapq=60 if c.primary else 0,
+            mapq=0,  # assigned by _assign_mapq once all placements exist
             cigar=full,
             seq=seq,
             qual=qual,

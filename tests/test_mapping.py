@@ -328,3 +328,31 @@ class TestRunnerEngineCache:
                 )
                 assert fut_a.result() == gold_a
                 assert fut_b.result() == gold_b
+
+
+class TestMapqCalibration:
+    """MAPQ from chain-score gap + pair-HMM placement posterior
+    (engine._assign_mapq)."""
+
+    def test_unique_high_repeat_low(self):
+        rng = np.random.default_rng(7)
+        seg = decode(rng.integers(0, 4, 800).astype(np.int8))
+        unique = decode(rng.integers(0, 4, 800).astype(np.int8))
+        # reference with an exact tandem repeat of seg and a unique region
+        ref_dict = {"ref1": seg + seg + unique}
+        engine = MappingEngine(ref_dict, MapperConfig(batch_size=4))
+
+        rep_read = noisy_copy(rng, seg[100:600])
+        uni_read = noisy_copy(rng, unique[100:600])
+        rep = [r for r in engine.map_read("rep", rep_read)
+               if not r.is_secondary]
+        uni = [r for r in engine.map_read("uni", uni_read)
+               if not r.is_secondary]
+        assert uni and rep
+        assert uni[0].mapq >= 40, uni[0].mapq
+        assert rep[0].mapq <= 10, rep[0].mapq
+        # secondaries are mapq 0
+        assert all(
+            r.mapq == 0 for r in engine.map_read("rep2", rep_read)
+            if r.is_secondary
+        )
