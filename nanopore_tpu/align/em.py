@@ -344,6 +344,7 @@ def learn_model_from_sam_file(
     reference_fasta_path: str,
     output_model_path: str,
     options: EmOptions | None = None,
+    write_files: bool = True,
 ) -> PairHmmModel:
     """EM on a chained SAM; write hmm.txt + hmm.txt.xml.
 
@@ -374,7 +375,8 @@ def learn_model_from_sam_file(
     result = em_train(pairs, options)
 
     unnormalised = result.model
-    unnormalised.write(output_model_path + "_unnormalised")
+    if write_files:
+        unnormalised.write(output_model_path + "_unnormalised")
 
     final = PairHmmModel(
         transitions=unnormalised.transitions.copy(),
@@ -384,6 +386,10 @@ def learn_model_from_sam_file(
     )
     final.set_indel_emissions_flat()
     final.normalise_by_reference_gc_content(0.5)
+    if not write_files:
+        # multi-host: non-coordinators compute the identical model (the
+        # expectations are global psums) but only host 0 owns the files
+        return final
     final.write(output_model_path)
 
     t_stack = np.stack([m.transitions for m in result.trial_models])

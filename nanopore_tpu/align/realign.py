@@ -131,13 +131,22 @@ def realign_sam_file(
     hmm_model: PairHmmModel | None = None,
     band_width: int = 64,
     batch_size: int = 4,
+    shard: tuple[int, int] | None = None,
 ) -> None:
-    """Chain then realign a SAM file (realignSamFileTargetFn semantics)."""
+    """Chain then realign a SAM file (realignSamFileTargetFn semantics).
+
+    ``shard=(i, n)``: chain deterministically (same result on every
+    host), realign and write only every n-th chained record starting at
+    i — the multi-host fan-out; host 0 reconstructs chained order with
+    merge_sam_shards(order="interleave").
+    """
     with tempfile.TemporaryDirectory() as tmp:
         chained = os.path.join(tmp, "chained.sam")
         chain_sam_file(sam_path, chained, read_fastq_path, reference_fasta_path)
         reader = SamReader(chained)
         records = list(reader.mapped())
+        if shard is not None:
+            records = records[shard[0] :: shard[1]]
         ref_seqs = read_fasta_dict(reference_fasta_path)
         realign_records(
             records, ref_seqs, hmm_model, gap_gamma, match_gamma,

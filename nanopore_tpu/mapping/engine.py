@@ -375,16 +375,26 @@ class MappingEngine:
         cands = self._candidates_for_read(name, seq)
         return self._align_candidates(cands, {name: qual})
 
-    def map_fastq(self, fastq_path: str, output_sam_path: str) -> int:
+    def map_fastq(
+        self,
+        fastq_path: str,
+        output_sam_path: str,
+        shard: tuple[int, int] | None = None,
+    ) -> int:
         """Map a FASTQ file to SAM.  Returns the number of records written.
 
         Mirrors one ``mapper.run()`` of the reference (e.g.
         mappers/last.py:24-26): reads in, ``mapping.sam`` out, with @SQ
-        lines for every reference contig.
+        lines for every reference contig.  ``shard=(i, n)`` maps only
+        every n-th read starting at i (multi-host data parallelism: each
+        host maps its strided FASTQ shard, host 0 merges —
+        parallel.distributed.merge_sam_shards).
         """
         cands: list[_Candidate] = []
         quals: dict[str, str] = {}
-        for header, seq, qvals in fastq_read(fastq_path):
+        for ridx, (header, seq, qvals) in enumerate(fastq_read(fastq_path)):
+            if shard is not None and ridx % shard[1] != shard[0]:
+                continue
             name = header.split()[0]
             qual = (
                 "".join(chr(q + 33) for q in qvals) if qvals is not None else "*"

@@ -58,3 +58,94 @@ def host_shard(items: list, process_index: int | None = None,
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
     return items[pi::pc]
+
+
+def process_info() -> tuple[int, int]:
+    return jax.process_index(), jax.process_count()
+
+
+def is_coordinator() -> bool:
+    return jax.process_index() == 0
+
+
+def barrier(tag: str) -> None:
+    """Cross-host sync point; no-op in single-process runs.
+
+    The TPU-native analogue of the reference's follow-on-target joins
+    (jobTree setFollowOnTarget, e.g. utils.py:572): all hosts must
+    reach the same barriers in the same order (call from the main
+    thread only — interleaved collectives from worker threads would
+    disorder the global collective stream).
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("nanopore_tpu:" + tag)
+
+
+def coordinator_decision(value: bool) -> bool:
+    """Host 0's boolean, agreed by every host (skip/run consensus).
+
+    Control decisions that depend on shared-filesystem state (e.g. "does
+    mapping.sam already exist?") must not diverge across hosts — a host
+    that skips a cooperative step while another enters its barriers
+    deadlocks the collective stream.  Single-process: returns value.
+    """
+    if jax.process_count() <= 1:
+        return value
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    agreed = multihost_utils.broadcast_one_to_all(
+        np.asarray([1 if value else 0], dtype=np.int32)
+    )
+    return bool(np.asarray(agreed)[0])
+
+
+def shard_paths(base_path: str, process_count: int | None = None) -> list[str]:
+    pc = jax.process_count() if process_count is None else process_count
+    return ["%s.shard%d" % (base_path, pi) for pi in range(pc)]
+
+
+def merge_sam_shards(
+    paths: list[str], output_path: str, order: str = "sorted"
+) -> int:
+    """Host-0 merge of per-host SAM shards into one file.
+
+    ``order="sorted"``: records re-sorted by the deterministic
+    SamRecord.sort_key — what map_fastq does single-host.
+    ``order="interleave"``: round-robin by record across shards, which
+    reconstructs the original list order when shard i held items
+    [i::n] of an ordered record list (the realign case: one global
+    record per (read, ref) in chained order).  Shard files are removed
+    after the merge.  Returns the merged record count.
+    """
+    from nanopore_tpu.io.sam import SamReader, SamWriter
+
+    readers = [SamReader(p) for p in paths]
+    shards = [list(r) for r in readers]
+    if order == "interleave":
+        # original index of shard i's j-th record is j*n + i, so taking
+        # row j across shards in shard order reconstructs list order
+        merged = []
+        j = 0
+        while any(j < len(s) for s in shards):
+            for s in shards:
+                if j < len(s):
+                    merged.append(s[j])
+            j += 1
+    else:
+        # same key map_fastq sorts with single-host; a read's candidates
+        # all live in one shard (reads are sharded whole), so stable
+        # sort reproduces the single-host byte order
+        merged = [rec for shard in shards for rec in shard]
+        merged.sort(key=lambda r: r.sort_key())
+    with SamWriter(output_path, template=readers[0]) as writer:
+        for rec in merged:
+            writer.write(rec)
+    for p in paths:
+        try:
+            os.remove(p)
+        except OSError:  # pragma: no cover
+            pass
+    return len(merged)

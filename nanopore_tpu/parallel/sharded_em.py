@@ -87,24 +87,50 @@ def make_sharded_em_step(mesh, band_width: int, pseudocount: float = 1e-6):
     dp_s = NamedSharding(mesh, P(DP_AXIS))
     rep = NamedSharding(mesh, P())
 
+    multiproc = jax.process_count() > 1
+
+    def put(arr, sharding):
+        if multiproc:
+            # every process holds the identical full value; hand each
+            # its addressable shards (multihost_worker pattern)
+            arr = np.asarray(arr)
+            return jax.make_array_from_callback(
+                arr.shape, sharding, lambda idx: arr[idx]
+            )
+        return jax.device_put(arr, sharding)
+
     def step(trial_models, batch_arrays):
         t, e = trial_models
         xc, yc, xn, yn, offsets, m, n, k_end, w = batch_arrays
-        t = jax.device_put(t, trial_s)
-        e = jax.device_put(e, trial_s)
-        xc = jax.device_put(xc, dp_s)
-        yc = jax.device_put(yc, dp_s)
-        xn = jax.device_put(xn, dp_s)
-        yn = jax.device_put(yn, dp_s)
-        offsets = jax.device_put(offsets, dp_s)
-        m = jax.device_put(m, dp_s)
-        n = jax.device_put(n, dp_s)
-        k_end = jax.device_put(k_end, dp_s)
-        w = jax.device_put(w, dp_s)
-        return em_train_step(
+        t = put(t, trial_s)
+        e = put(e, trial_s)
+        xc = put(xc, dp_s)
+        yc = put(yc, dp_s)
+        xn = put(xn, dp_s)
+        yn = put(yn, dp_s)
+        offsets = put(offsets, dp_s)
+        m = put(m, dp_s)
+        n = put(n, dp_s)
+        k_end = put(k_end, dp_s)
+        w = put(w, dp_s)
+        out = em_train_step(
             t, e, xc, yc, xn, yn, offsets, m, n, k_end, w, band_width,
             pseudocount=pseudocount,
         )
+        if multiproc:
+            from jax.experimental import multihost_utils
+
+            # outputs are sharded over non-addressable devices; gather
+            # the replicated global values so the host loop sees them
+            # (reshape asserts the gather returned global, not stacked)
+            shapes = [o.shape for o in out]
+            out = tuple(
+                np.asarray(
+                    multihost_utils.process_allgather(o, tiled=True)
+                ).reshape(shape)
+                for o, shape in zip(out, shapes)
+            )
+        return out
 
     return step
 
@@ -195,7 +221,11 @@ def sharded_em_train(
         prev = np.where(converged, prev, ll)
         if converged.all():
             break
-        if checkpoint_path and (it + 1) % checkpoint_every == 0:
+        if (
+            checkpoint_path
+            and (it + 1) % checkpoint_every == 0
+            and jax.process_index() == 0
+        ):
             save_em_checkpoint(
                 checkpoint_path,
                 {
@@ -215,7 +245,7 @@ def sharded_em_train(
         if not converged[j]:
             final_t[j] = t[j]
             final_e[j] = e[j]
-    if checkpoint_path:
+    if checkpoint_path and jax.process_index() == 0:
         import os
 
         if os.path.exists(checkpoint_path):

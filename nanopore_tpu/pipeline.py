@@ -172,6 +172,12 @@ def _run_pipeline_impl(
     output_dir = os.path.join(working_dir, "output")
     os.makedirs(output_dir, exist_ok=True)
 
+    from nanopore_tpu.parallel import distributed as dist
+
+    _pi, pc = dist.initialize_distributed()
+    if pc > 1:
+        return _run_pipeline_distributed(working_dir, config, output_dir)
+
     if config.sample_reads:
         from nanopore_tpu.analyses.read_sampler import sample_reads
 
@@ -262,4 +268,125 @@ def _run_pipeline_impl(
         )
 
     sched.run(stats_path=os.path.join(output_dir, "pipeline_stats.json"))
+    return output_dir
+
+
+def _run_pipeline_distributed(
+    working_dir: str, config: PipelineConfig, output_dir: str
+) -> str:
+    """Multi-host pipeline: the jax.distributed product path.
+
+    The reference places jobTree targets on cluster nodes over a shared
+    filesystem (Makefile:2, pipeline.sh:9); here every host runs this
+    function cooperatively: mapping/realign/EM work within each
+    experiment is read-sharded across hosts (mapping/runner
+    _run_mapper_distributed; EM psums over the global mesh), analysis
+    tasks are strided-sharded whole across hosts, meta-analyses run on
+    host 0 after a global barrier.  All cross-host sync happens on this
+    (main) thread; local Scheduler threads never touch collectives.
+    """
+    from nanopore_tpu.parallel import distributed as dist
+
+    pi, pc = dist.process_info()
+    logger.info("distributed pipeline: host %d/%d", pi, pc)
+
+    # --- input discovery: host 0 writes processed*Files, others read --- #
+    if pi == 0:
+        if config.sample_reads:
+            from nanopore_tpu.analyses.read_sampler import sample_reads
+
+            sample_reads(working_dir)
+        read_fastq_files, reference_fasta_files = discover_inputs(
+            working_dir, output_dir
+        )
+        if config.mutate_references:
+            from nanopore_tpu.analyses.mutate_reference import (
+                mutate_reference_sequences,
+            )
+
+            reference_fasta_files = mutate_reference_sequences(
+                reference_fasta_files
+            )
+    dist.barrier("inputs")
+    if pi != 0:
+        read_fastq_files, reference_fasta_files = discover_inputs(
+            working_dir, output_dir
+        )
+        if config.mutate_references:
+            from nanopore_tpu.analyses.mutate_reference import (
+                mutate_reference_sequences,
+            )
+
+            reference_fasta_files = mutate_reference_sequences(
+                reference_fasta_files
+            )
+
+    experiments = build_experiments(
+        output_dir, read_fastq_files, reference_fasta_files, config.mappers
+    )
+
+    # --- mapping: cooperative per experiment, deterministic order ------ #
+    for exp in experiments:
+        os.makedirs(exp.experiment_dir, exist_ok=True)
+        # skip decided by host 0 so no host diverges on FS visibility
+        skip = dist.coordinator_decision(os.path.exists(exp.sam_file))
+        if skip:
+            continue
+        run_mapper(
+            exp.mapper_name,
+            exp.read_fastq_file,
+            exp.read_type,
+            exp.reference_fasta_file,
+            exp.sam_file,
+            exp.hmm_file,
+            config.em_options,
+            distributed=True,
+        )
+    dist.barrier("mapping")
+
+    # --- analyses: whole tasks strided across hosts --------------------- #
+    tasks = []
+    for exp in experiments:
+        for analysis_name in config.analyses:
+            tasks.append((exp, analysis_name))
+    sched = Scheduler(max_workers=config.max_workers)
+    for exp, analysis_name in dist.host_shard(tasks):
+        cls = ALL_ANALYSES[analysis_name]
+        analysis_dir = os.path.join(
+            exp.experiment_dir, "analysis_" + analysis_name
+        )
+        os.makedirs(analysis_dir, exist_ok=True)
+
+        def analysis_fn(exp=exp, cls=cls, analysis_dir=analysis_dir):
+            Analysis.reset(analysis_dir)
+            cls(
+                exp.read_fastq_file,
+                exp.read_type,
+                exp.reference_fasta_file,
+                exp.sam_file,
+                analysis_dir,
+            ).execute()
+
+        sched.add_task(
+            "analysis:%s:%s" % (analysis_name, exp.experiment_dir),
+            analysis_fn,
+            skip_if=lambda d=analysis_dir: Analysis.is_finished(d),
+        )
+    stats_path = os.path.join(
+        output_dir,
+        "pipeline_stats.json" if pi == 0 else "pipeline_stats.host%d.json" % pi,
+    )
+    sched.run(stats_path=stats_path)
+    dist.barrier("analyses")
+
+    # --- meta-analyses: host 0, after every experiment ------------------ #
+    if pi == 0:
+        from nanopore_tpu.meta import ALL_META_ANALYSES
+
+        for meta_name in config.meta_analyses:
+            meta_cls = ALL_META_ANALYSES[meta_name]
+            meta_dir = os.path.join(output_dir, "metaAnalysis_" + meta_name)
+            os.makedirs(meta_dir, exist_ok=True)
+            meta_cls(meta_dir, experiments, config.analyses).run()
+    dist.barrier("meta")
     return output_dir
