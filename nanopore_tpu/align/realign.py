@@ -58,6 +58,8 @@ def realign_records(
     when ``rescore`` (the --rescoreByPosteriorProbIgnoringGaps analogue),
     else an empty list.
     """
+    from nanopore_tpu.runtime.prefetch import prefetched
+
     params = make_kernel_params(model or PairHmmModel.default())
     scores: list[float] = [float("nan")] * len(records)
 
@@ -68,56 +70,65 @@ def realign_records(
         m = len(rec.seq)
         buckets.setdefault((_next_pow2(n), _next_pow2(m)), []).append(idx)
 
-    for (n_pad, m_pad), idxs in buckets.items():
-        for s in range(0, len(idxs), batch_size):
-            sub = idxs[s : s + batch_size]
-            pairs = []
-            for idx in sub:
-                rec = records[idx]
-                x = encode(ref_seqs[rec.rname])
-                y = encode(rec.seq)
-                assert rec.pos == 0, "realign requires chained global records"
-                pairs.append((x, y, rec.cigar))
-            batch = prepare_banded_batch(
-                pairs,
-                band_width=band_width,
-                k_max=n_pad + m_pad,
-                n_pad_to=n_pad,
-                m_pad_to=m_pad,
+    def prepared_batches():
+        """Pack + upload on the prefetch thread: the ~18s/20s host cost
+        of prepare_banded_batch (CLAUDE.md) overlaps the previous
+        batch's device kernel instead of serialising behind it."""
+        for (n_pad, m_pad), idxs in buckets.items():
+            for s in range(0, len(idxs), batch_size):
+                sub = idxs[s : s + batch_size]
+                pairs = []
+                for idx in sub:
+                    rec = records[idx]
+                    x = encode(ref_seqs[rec.rname])
+                    y = encode(rec.seq)
+                    assert (
+                        rec.pos == 0
+                    ), "realign requires chained global records"
+                    pairs.append((x, y, rec.cigar))
+                batch = prepare_banded_batch(
+                    pairs,
+                    band_width=band_width,
+                    k_max=n_pad + m_pad,
+                    n_pad_to=n_pad,
+                    m_pad_to=m_pad,
+                )
+                yield sub, batch
+
+    for sub, batch in prefetched(prepared_batches(), depth=2):
+        offs_np = np.asarray(batch.offsets)
+        if rescore:
+            # two-pass path: the rescore consumes the posterior band
+            fb = forward_backward(batch, params)
+            dirs, _ = mea_decode_batch(
+                fb, batch.offsets, batch.m, batch.n, band_width,
+                gap_gamma, match_gamma,
             )
-            offs_np = np.asarray(batch.offsets)
-            if rescore:
-                # two-pass path: the rescore consumes the posterior band
-                fb = forward_backward(batch, params)
-                dirs, _ = mea_decode_batch(
-                    fb, batch.offsets, batch.m, batch.n, band_width,
-                    gap_gamma, match_gamma,
+            dirs_np = np.asarray(dirs)
+            gm_np = np.asarray(fb["gamma_match"])
+            for b, idx in enumerate(sub):
+                rec = records[idx]
+                m = len(rec.seq)
+                n = len(ref_seqs[rec.rname])
+                new_cigar = mea_traceback(dirs_np[b], offs_np[b], m, n)
+                rec.cigar = new_cigar
+                scores[idx] = rescore_by_posterior(
+                    gm_np[b], offs_np[b], new_cigar
                 )
-                dirs_np = np.asarray(dirs)
-                gm_np = np.asarray(fb["gamma_match"])
-                for b, idx in enumerate(sub):
-                    rec = records[idx]
-                    m = len(rec.seq)
-                    n = len(ref_seqs[rec.rname])
-                    new_cigar = mea_traceback(dirs_np[b], offs_np[b], m, n)
-                    rec.cigar = new_cigar
-                    scores[idx] = rescore_by_posterior(
-                        gm_np[b], offs_np[b], new_cigar
-                    )
-            else:
-                # fused rematerialised path: no stored lattice / gamma
-                # bands, so realign batches scale (ops/mea.realign_fused)
-                fused = realign_fused(
-                    batch, params, gap_gamma, match_gamma
+        else:
+            # fused rematerialised path: no stored lattice / gamma
+            # bands, so realign batches scale (ops/mea.realign_fused)
+            fused = realign_fused(
+                batch, params, gap_gamma, match_gamma
+            )
+            dirs_np = np.asarray(fused["dirs"])
+            for b, idx in enumerate(sub):
+                rec = records[idx]
+                m = len(rec.seq)
+                n = len(ref_seqs[rec.rname])
+                rec.cigar = mea_traceback_fwd(
+                    dirs_np[b], offs_np[b], m, n
                 )
-                dirs_np = np.asarray(fused["dirs"])
-                for b, idx in enumerate(sub):
-                    rec = records[idx]
-                    m = len(rec.seq)
-                    n = len(ref_seqs[rec.rname])
-                    rec.cigar = mea_traceback_fwd(
-                        dirs_np[b], offs_np[b], m, n
-                    )
     return scores if rescore else []
 
 

@@ -268,9 +268,9 @@ class MappingEngine:
                 int(max(0, min(60, round(primary_q)))) if c.primary else 0
             )
 
-    def _align_batch(
-        self, sub, n_pad, m_pad, quals
-    ) -> list[tuple[_Candidate, SamRecord, float]]:
+    def _prepare_batch(self, sub, n_pad, m_pad):
+        """Host pack + device upload for one candidate batch (the
+        expensive host side — runs on the prefetch thread)."""
         cfg = self.config
         pairs = []
         for c in sub:
@@ -285,6 +285,19 @@ class MappingEngine:
             n_pad_to=n_pad,
             m_pad_to=m_pad,
         )
+        return sub, batch
+
+    def _align_batch(
+        self, sub, n_pad, m_pad, quals
+    ) -> list[tuple[_Candidate, SamRecord, float]]:
+        _, batch = self._prepare_batch(sub, n_pad, m_pad)
+        return self._consume_batch(sub, batch, quals)
+
+    def _consume_batch(
+        self, sub, batch, quals
+    ) -> list[tuple[_Candidate, SamRecord, float]]:
+        """Kernel + traceback + record construction for a prepared batch."""
+        cfg = self.config
         offsets = np.asarray(batch.offsets)
         cigars: list[list[tuple[int, int]]] = []
         if cfg.decode == "viterbi":
@@ -390,18 +403,57 @@ class MappingEngine:
         host maps its strided FASTQ shard, host 0 merges —
         parallel.distributed.merge_sam_shards).
         """
-        cands: list[_Candidate] = []
+        from nanopore_tpu.runtime.prefetch import prefetched
+
+        cfg = self.config
         quals: dict[str, str] = {}
-        for ridx, (header, seq, qvals) in enumerate(fastq_read(fastq_path)):
-            if shard is not None and ridx % shard[1] != shard[0]:
-                continue
-            name = header.split()[0]
-            qual = (
-                "".join(chr(q + 33) for q in qvals) if qvals is not None else "*"
-            )
-            quals[name] = qual
-            cands.extend(self._candidates_for_read(name, seq))
-        records = self._align_candidates(cands, quals)
+
+        def prepared_batches():
+            """FASTQ parse -> seed/chain -> pack -> upload, streamed.
+
+            Runs on the prefetch thread so the whole host side of batch
+            i+1 overlaps the device kernel of batch i (SURVEY section 7
+            "Host I/O overlap").  Buckets flush as they fill instead of
+            buffering every candidate for the file.
+            """
+            buckets: dict[tuple[int, int], list[_Candidate]] = {}
+            for ridx, (header, seq, qvals) in enumerate(
+                fastq_read(fastq_path)
+            ):
+                if shard is not None and ridx % shard[1] != shard[0]:
+                    continue
+                name = header.split()[0]
+                quals[name] = (
+                    "".join(chr(q + 33) for q in qvals)
+                    if qvals is not None
+                    else "*"
+                )
+                for c in self._candidates_for_read(name, seq):
+                    n = c.window_end - c.window_start
+                    m = len(c.read_codes)
+                    key = (_next_pow2(n), _next_pow2(m))
+                    group = buckets.setdefault(key, [])
+                    group.append(c)
+                    if len(group) >= cfg.batch_size:
+                        buckets[key] = []
+                        yield self._prepare_batch(group, *key)
+            for key, group in buckets.items():
+                for i in range(0, len(group), cfg.batch_size):
+                    yield self._prepare_batch(
+                        group[i : i + cfg.batch_size], *key
+                    )
+
+        results: list[tuple[_Candidate, SamRecord, float]] = []
+        for sub, batch in prefetched(prepared_batches(), depth=2):
+            results.extend(self._consume_batch(sub, batch, quals))
+
+        by_read: dict[str, list] = {}
+        for item in results:
+            by_read.setdefault(item[0].name, []).append(item)
+        records: list[SamRecord] = []
+        for items in by_read.values():
+            self._assign_mapq(items)
+            records.extend(rec for _, rec, _ in items)
         records.sort(key=SamRecord.sort_key)
         ref_lengths = {
             name: len(seq) for name, seq in self.ref_dict.items()

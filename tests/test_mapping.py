@@ -356,3 +356,27 @@ class TestMapqCalibration:
             r.mapq == 0 for r in engine.map_read("rep2", rep_read)
             if r.is_secondary
         )
+
+
+class TestPrefetch:
+    def test_order_and_exception(self):
+        from nanopore_tpu.runtime.prefetch import prefetched
+
+        def gen():
+            for i in range(10):
+                yield i * i
+
+        assert list(prefetched(gen(), depth=2)) == [i * i for i in range(10)]
+        assert list(prefetched(iter([lambda: 7, lambda: 8]))) == [7, 8]
+
+        def boom():
+            yield 1
+            raise ValueError("producer failed")
+
+        import pytest
+
+        out = []
+        with pytest.raises(ValueError, match="producer failed"):
+            for x in prefetched(boom()):
+                out.append(x)
+        assert out == [1]
