@@ -228,6 +228,7 @@ def _realign_fused_single(params, batch_elem, gap_gamma, match_gamma,
         _bwd_init,
         _bwd_xs_arrays,
         _emis_from_parts,
+        _fwd_carry_init,
         _fwd_start,
         _make_bwd_step,
         _make_fwd_step,
@@ -267,10 +268,9 @@ def _realign_fused_single(params, batch_elem, gap_gamma, match_gamma,
                                 unroll=SCAN_UNROLL)
         return out_carry, carry
 
-    init = (_fwd_start(W), jnp.zeros((NUM_STATES, W), jnp.float32),
-            0.0, 0.0, 0.0)
+    init = _fwd_carry_init(W)
     fin_carry, boundaries = lax.scan(seg_fwd, init, fxs_seg)
-    loglik = fin_carry[4]
+    loglik = fin_carry[-1]
 
     bwd_step = _make_bwd_step(params, loglik, m, n, k_end, W,
                               emit_gammas=True)
@@ -338,7 +338,7 @@ def _realign_fused_single(params, batch_elem, gap_gamma, match_gamma,
            _fwd_start(W), jnp.float32(0.0), xn[0], yn[0], xc[0], yc[0])
     carry, choice0 = fused_step(carry, xs0)
     bcarry, u0 = carry[0], carry[1]
-    _, _, _, _, trans, e16, edel, eins = bcarry
+    trans, e16, edel, eins = bcarry[-4:]
 
     # dirs_rev: (S, C, W), segment-major with diagonals descending
     dirs_desc = dirs_rev.reshape(S * C, W)  # diagonals K_pad .. 1

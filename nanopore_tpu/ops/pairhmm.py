@@ -301,16 +301,39 @@ def _valid_mask(k, o_k, m, n, W):
 # --------------------------------------------------------------------- #
 # Forward
 # --------------------------------------------------------------------- #
+def _kahan_add(hi, c, x):
+    """Compensated accumulation: value represented is ``hi - c``.
+
+    The log-scale accumulators grow to O(K) nats with O(K * eps * |hi|)
+    plain-f32 rounding; since EM factors exponentiate
+    ``lsf + lsb - loglik``, that absolute error lands in the EXPONENT —
+    at K ~ 10^4 diagonals it reaches O(1)-O(10) nats and the
+    expectations come out orders of magnitude off (the round-1
+    "phase-B wrong on hardware" finding was exactly this, not a
+    miscompile).  Kahan compensation bounds the error at ~eps * |hi|
+    independent of K.
+    """
+    y = x - c
+    t = hi + y
+    c_new = (t - hi) - y
+    return t, c_new
+
+
 def _make_fwd_step(params: KernelParams, m, n, k_end, W: int,
                    store_lattice: bool):
     """The per-anti-diagonal forward step, shared by the full-lattice scan
-    and the segmented/rematerialised EM path."""
+    and the segmented/rematerialised EM path.
+
+    Carry: (prev, prevprev, ls1, ls2, c1, c2, loglik) — (ls, c) are the
+    Kahan hi/compensation pair of the running log-scale; the represented
+    value is ls - c.
+    """
     t = params.t
     e_match = params.e_match_flat.reshape(5, 5)
     e_gap = params.e_gap_flat.reshape(5, 5)
 
     def step(carry, xs):
-        prev, prevprev, ls1, ls2, loglik = carry
+        prev, prevprev, ls1, ls2, c1, c2, loglik = carry
         k, o_k, d1, d2, x_cur, y_cur = xs
 
         oh_x = _onehot5(x_cur, W)
@@ -320,7 +343,7 @@ def _make_fwd_step(params: KernelParams, m, n, k_end, W: int,
         gy = e_gap @ oh_y  # (5, W): per-state insert emissions
 
         # scales accumulate negative increments, so ls2 >= ls1 and r >= 1
-        r = jnp.exp(jnp.clip(ls2 - ls1, -80.0, 80.0))
+        r = jnp.exp(jnp.clip((ls2 - ls1) + (c1 - c2), -80.0, 80.0))
         diag_pred = _shift_sel(prevprev, d2, -1, 1) * r
         left_pred = _shift_sel(prev, d1 - 1, -1, 0)
         up_pred = _shift_sel(prev, d1, 0, 1)
@@ -336,14 +359,16 @@ def _make_fwd_step(params: KernelParams, m, n, k_end, W: int,
         scale = jnp.max(new)
         safe = jnp.where(scale > 0, scale, 1.0)
         new = new / safe
-        ls_new = ls1 + jnp.log(safe)
+        ls_new, c_new = _kahan_add(ls1, c1, jnp.log(safe))
 
         fin = jnp.sum(new[:, 0])
         loglik = loglik + jnp.where(
-            k == k_end, jnp.log(jnp.maximum(fin, 1e-37)) + ls_new, 0.0
+            k == k_end,
+            jnp.log(jnp.maximum(fin, 1e-37)) + (ls_new - c_new),
+            0.0,
         )
-        out = (new, ls_new) if store_lattice else None
-        return (new, prev, ls_new, ls1, loglik), out
+        out = (new, ls_new - c_new) if store_lattice else None
+        return (new, prev, ls_new, ls1, c_new, c1, loglik), out
 
     return step
 
@@ -351,6 +376,14 @@ def _make_fwd_step(params: KernelParams, m, n, k_end, W: int,
 def _fwd_start(W: int) -> jax.Array:
     start = jnp.full((NUM_STATES, W), 0.0, jnp.float32)
     return start.at[:, 0].set(1.0 / NUM_STATES)
+
+
+def _fwd_carry_init(W: int):
+    return (
+        _fwd_start(W),
+        jnp.zeros((NUM_STATES, W), jnp.float32),
+        0.0, 0.0, 0.0, 0.0, 0.0,
+    )
 
 
 def _forward_scan_single(params: KernelParams, batch_elem, store_lattice: bool):
@@ -368,9 +401,9 @@ def _forward_scan_single(params: KernelParams, batch_elem, store_lattice: bool):
     o_km2 = jnp.concatenate([jnp.zeros((1,), jnp.int32), offsets[:-2]])
     d2 = o_k - o_km2 - 1
     xs = (ks, o_k, d1, d2, xc[1:], yc[1:])
-    init = (start, jnp.zeros((NUM_STATES, W), jnp.float32), 0.0, 0.0, 0.0)
+    init = _fwd_carry_init(W)
     (fin_carry), ys = lax.scan(step, init, xs, unroll=SCAN_UNROLL)
-    loglik = fin_carry[4]
+    loglik = fin_carry[-1]
     if store_lattice:
         f_hat, lsf = ys
         # prepend diagonal 0
@@ -409,7 +442,7 @@ def _make_bwd_step(params: KernelParams, loglik, m, n, k_end, W: int,
     e_gap = params.e_gap_flat.reshape(5, 5)
 
     def step(carry, xs):
-        bnext, bnext2, lsb1, lsb2, trans, e16, edel, eins = carry
+        bnext, bnext2, lsb1, lsb2, cb1, cb2, trans, e16, edel, eins = carry
         k, o_k, d1n, d2n2, f_hat, lsf, x_next, y_next, x_cur, y_cur = xs
 
         oh_xn = _onehot5(x_next, W)
@@ -420,7 +453,7 @@ def _make_bwd_step(params: KernelParams, loglik, m, n, k_end, W: int,
         e_d1_next, e_d2_next = gx_next[1], gx_next[3]
         e_i1_next, e_i2_next = gy_next[2], gy_next[4]
 
-        r = jnp.exp(jnp.clip(lsb2 - lsb1, -80.0, 80.0))
+        r = jnp.exp(jnp.clip((lsb2 - lsb1) + (cb1 - cb2), -80.0, 80.0))
         # destination values aligned onto current band
         bM_dest = _shift_sel(bnext2[0], -d2n2, -1, 1) * r * e_m_next
         bD1_dest = _shift_sel(bnext[1], 1 - d1n, 0, 1) * e_d1_next
@@ -440,17 +473,23 @@ def _make_bwd_step(params: KernelParams, loglik, m, n, k_end, W: int,
         scale = jnp.max(new)
         safe = jnp.where(scale > 0, scale, 1.0)
         new = new / safe
-        lsb_new = jnp.where(is_end, 0.0, lsb1 + jnp.log(safe))
+        lsb_k, cb_k = _kahan_add(lsb1, cb1, jnp.log(safe))
+        lsb_new = jnp.where(is_end, 0.0, lsb_k)
+        cb_new = jnp.where(is_end, 0.0, cb_k)
 
         # ---- EM transition expectations (moves out of diagonal k) ----
         # dest[t, b] = e_t(dest cell) * b_t(dest cell) at running scale lsb1
         # (bnext2 terms folded onto lsb1 via r); f_hat at scale lsf.
         # E[s, t] += sum_b f_s(b) * T[s, t] * dest[t, b] * exp(lsf+lsb1-L)
-        factor_trans = jnp.exp(jnp.clip(lsf + lsb1 - loglik, -80.0, 80.0))
+        factor_trans = jnp.exp(
+            jnp.clip(lsf + (lsb1 - cb1) - loglik, -80.0, 80.0)
+        )
         trans = trans + t * jnp.einsum("sw,tw->st", f_hat, dest) * factor_trans
 
         # ---- posterior occupancy of diagonal k ----
-        g_factor = jnp.exp(jnp.clip(lsf + lsb_new - loglik, -80.0, 80.0))
+        g_factor = jnp.exp(
+            jnp.clip(lsf + (lsb_new - cb_new) - loglik, -80.0, 80.0)
+        )
         gamma = f_hat * new * g_factor  # (5, W)
 
         oh4_x = _onehot5(x_cur, W)[:4]  # (4, W): N columns drop out
@@ -468,7 +507,10 @@ def _make_bwd_step(params: KernelParams, loglik, m, n, k_end, W: int,
             if emit_gammas
             else None
         )
-        return ((new, bnext, lsb_new, lsb1, trans, e16, edel, eins), out)
+        return (
+            (new, bnext, lsb_new, lsb1, cb_new, cb1, trans, e16, edel, eins),
+            out,
+        )
 
     return step
 
@@ -493,6 +535,8 @@ def _bwd_init(W: int):
         jnp.zeros((NUM_STATES, W), jnp.float32),
         0.0,
         0.0,
+        0.0,  # cb1 Kahan compensation
+        0.0,  # cb2
         jnp.zeros((5, 5), jnp.float32),
         jnp.zeros((16,), jnp.float32),
         jnp.zeros((2, 4), jnp.float32),
@@ -540,7 +584,7 @@ def _forward_backward_single(params: KernelParams, batch_elem):
     )
 
     carry, gammas_rev = lax.scan(step, _bwd_init(W), xs, unroll=SCAN_UNROLL)
-    _, _, _, _, trans, e16, edel, eins = carry
+    trans, e16, edel, eins = carry[-4:]
 
     gamma_match = gammas_rev[0][::-1]
     gamma_del = gammas_rev[1][::-1]
@@ -629,10 +673,9 @@ def _em_expectations_single(params: KernelParams, batch_elem,
                                 unroll=SCAN_UNROLL)
         return out_carry, carry  # emit the segment's INCOMING carry
 
-    init = (_fwd_start(W), jnp.zeros((NUM_STATES, W), jnp.float32),
-            0.0, 0.0, 0.0)
+    init = _fwd_carry_init(W)
     fin_carry, boundaries = lax.scan(seg_fwd, init, fxs_seg)
-    loglik = fin_carry[4]
+    loglik = fin_carry[-1]
 
     bwd_step = _make_bwd_step(params, loglik, m, n, k_end, W,
                               emit_gammas=False)
@@ -663,7 +706,7 @@ def _em_expectations_single(params: KernelParams, batch_elem,
     xs0 = (jnp.int32(0), offsets[0], d1n[0], d2n2[0],
            _fwd_start(W), jnp.float32(0.0), xn[0], yn[0], xc[0], yc[0])
     carry, _ = bwd_step(carry, xs0)
-    _, _, _, _, trans, e16, edel, eins = carry
+    trans, e16, edel, eins = carry[-4:]
     return {
         "loglik": loglik,
         "trans": trans,

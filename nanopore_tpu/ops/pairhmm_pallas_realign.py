@@ -104,7 +104,8 @@ def _realign_kernel(
     bwd2,  # (5, W, BT) f32 backward state b[k+2]
     em_buf,  # (57, W, BT) f32: 0-24 trans, 25-40 e16, 41-48 edel, 49-56 eins
     mea_buf,  # (6, W, BT) f32: u1, u2, gm1, gm2, gd1, gi1
-    scal,  # (8, 1, BT) f32: 0 lsA, 1 rs, 2 loglik, 3 lsb1, 4 lsb2
+    scal,  # (8, 1, BT) f32: 0 lsA, 1 rs, 2 loglik, 3 lsb1, 4 lsb2,
+    #        5 lsA Kahan comp, 6 lsb1 comp, 7 lsb2 comp (value = hi - c)
     dirs_buf,  # (2*SEG, W, BT) int8
     in_sems,  # DMA (4, 2)
     out_sems,  # DMA (2,)
@@ -172,8 +173,20 @@ def _realign_kernel(
             acc_t = acc_t + tf_ref[s * 5 + dest] * preds[s]
         return acc_t
 
+    def kahan_add(hi, c, x):
+        """Compensated add; represented value is hi - c (see
+        ops/pairhmm._kahan_add: plain-f32 running log-scales put
+        O(K * eps * |partial|) error into the EM factor EXPONENTS —
+        the round-1 'phase-B wrong on hardware' was exactly this)."""
+        y = x - c
+        t = hi + y
+        return t, (t - hi) - y
+
     def fwd_diag_step(k_new, xy, prev, prevprev, r, ls_cur, acc, rescale):
-        """One forward anti-diagonal (identical math to pairhmm_pallas)."""
+        """One forward anti-diagonal (identical math to pairhmm_pallas).
+
+        ``ls_cur`` is the (hi, c) Kahan pair of the running log-scale.
+        """
         d1 = d1_ref[k_new - 1]
         d2 = d2_ref[k_new - 1]
         oh_x, oh_y = _unpack_onehots(xy)
@@ -191,6 +204,7 @@ def _realign_kernel(
             gx3 * trans_sum(left, 3),
             gy4 * trans_sum(up, 4),
         ]
+        ls_hi, ls_c = ls_cur
         if rescale:
             scale = jnp.max(new[0], axis=0, keepdims=True)
             for s in range(1, NUM_STATES):
@@ -200,27 +214,29 @@ def _realign_kernel(
             safe = jnp.where(scale > 0, scale, 1.0)
             inv = 1.0 / safe
             new = [arr * inv for arr in new]
-            ls_new = ls_cur + jnp.log(safe)
+            ls_hi, ls_c = kahan_add(ls_hi, ls_c, jnp.log(safe))
             safe_inv = inv
         else:
-            ls_new = ls_cur
             safe_inv = None
         fin = zb
         for s in range(NUM_STATES):
             fin = fin + new[s][0:1, :]
         acc = acc + jnp.where(
-            k_new == kend, jnp.log(jnp.maximum(fin, 1e-37)) + ls_new, 0.0
+            k_new == kend,
+            jnp.log(jnp.maximum(fin, 1e-37)) + (ls_hi - ls_c),
+            0.0,
         )
-        return new, ls_new, safe_inv, acc
+        return new, (ls_hi, ls_c), safe_inv, acc
 
     # ================= Phase A: forward + boundary dumps =================
     start_tile = jnp.where(row == 0, 1.0 / NUM_STATES, 0.0)
     for st in range(NUM_STATES):
         sA[st] = start_tile
         sB[st] = zeros
-    scal[0] = zb  # lsA
+    scal[0] = zb  # lsA hi
     scal[1] = ones_b  # rs
     scal[2] = zb  # loglik acc
+    scal[5] = zb  # lsA Kahan compensation (value = hi - c)
 
     def chunk_dma(c, slot):
         return pltpu.make_async_copy(
@@ -270,8 +286,8 @@ def _realign_kernel(
             a = [sA[st] for st in range(NUM_STATES)]
             b = [sB[st] for st in range(NUM_STATES)]
             new_b, ls_b, _, acc = fwd_diag_step(
-                k0 + 1, bufA[t], a, b, scal[1], scal[0], scal[2],
-                rescale=False,
+                k0 + 1, bufA[t], a, b, scal[1], (scal[0], scal[5]),
+                scal[2], rescale=False,
             )
             new_a, ls_a2, inv, acc = fwd_diag_step(
                 k0 + 2, bufA[t + 1], new_b, a, ones_b, ls_b, acc,
@@ -280,7 +296,8 @@ def _realign_kernel(
             for st in range(NUM_STATES):
                 sB[st] = new_b[st]
                 sA[st] = new_a[st]
-            scal[0] = ls_a2
+            scal[0] = ls_a2[0]
+            scal[5] = ls_a2[1]
             scal[1] = inv
             scal[2] = acc
             return 0
@@ -302,8 +319,10 @@ def _realign_kernel(
     for st in range(NUM_STATES):
         bwd1[st] = zeros
         bwd2[st] = zeros
-    scal[3] = zb  # lsb1
-    scal[4] = zb  # lsb2
+    scal[3] = zb  # lsb1 hi
+    scal[4] = zb  # lsb2 hi
+    scal[6] = zb  # lsb1 Kahan compensation
+    scal[7] = zb  # lsb2 Kahan compensation
 
     def seg_dmas(s, slot):
         k0 = s * SEG
@@ -333,14 +352,14 @@ def _realign_kernel(
 
     def bwd_diag_step(k, kl, slot, carry):
         """One backward + EM + MEA diagonal (k traced, kl static)."""
-        (b1, b2, lsb1, lsb2, u1, u2, gm1, gm2, gd1, gi1) = carry
+        (b1, b2, lsb1, lsb2, cb1, cb2, u1, u2, gm1, gm2, gd1, gi1) = carry
         d1n = d1n_ref[k]
         d2n2 = d2n2_ref[k]
         oh_xn, oh_yn = _unpack_onehots(bufn[slot * SEG + kl])
         e_m_next = match_emission(oh_xn, oh_yn)
         gx1n, gx3n, gy2n, gy4n = gap_emissions(oh_xn, oh_yn)
 
-        r = jnp.exp(jnp.clip(lsb2 - lsb1, -80.0, 80.0))
+        r = jnp.exp(jnp.clip((lsb2 - lsb1) + (cb1 - cb2), -80.0, 80.0))
         bM = sel_shift(b2[0], -d2n2, -1, 1) * r * e_m_next
         bD1 = sel_shift(b1[1], 1 - d1n, 0, 1) * gx1n
         bD2 = sel_shift(b1[3], 1 - d1n, 0, 1) * gx3n
@@ -369,18 +388,24 @@ def _realign_kernel(
         safe = jnp.where(scale > 0, scale, 1.0)
         inv = 1.0 / safe
         new = [x * inv for x in new]
-        lsb_new = jnp.where(is_end, 0.0, lsb1 + jnp.log(safe))
+        lsb_k, cb_k = kahan_add(lsb1, cb1, jnp.log(safe))
+        lsb_new = jnp.where(is_end, 0.0, lsb_k)
+        cb_new = jnp.where(is_end, 0.0, cb_k)
 
         # ---- EM expectations ----
         f_hat = [f_buf[kl * 5 + st] for st in range(NUM_STATES)]
         lsf = lsf_buf[kl]
-        factor_trans = jnp.exp(jnp.clip(lsf + lsb1 - loglik, -80.0, 80.0))
+        factor_trans = jnp.exp(
+            jnp.clip(lsf + (lsb1 - cb1) - loglik, -80.0, 80.0)
+        )
         for s in range(NUM_STATES):
             fs = f_hat[s] * factor_trans
             for t2 in range(NUM_STATES):
                 em_buf[s * 5 + t2] = em_buf[s * 5 + t2] + fs * dest[t2]
 
-        g_factor = jnp.exp(jnp.clip(lsf + lsb_new - loglik, -80.0, 80.0))
+        g_factor = jnp.exp(
+            jnp.clip(lsf + (lsb_new - cb_new) - loglik, -80.0, 80.0)
+        )
         gamma = [f_hat[s] * new[s] * g_factor for s in range(NUM_STATES)]
 
         oh_xc, oh_yc = _unpack_onehots(bufc[slot * SEG + kl])
@@ -422,7 +447,7 @@ def _realign_kernel(
         g_d = gamma[1] + gamma[3]
         g_i = gamma[2] + gamma[4]
         new_carry = (
-            new, b1, lsb_new, lsb1,
+            new, b1, lsb_new, lsb1, cb_new, cb1,
             new_u, u1, g_m, gm1, g_d, g_i,
         )
         return new_carry, choice
@@ -452,7 +477,7 @@ def _realign_kernel(
         # ---- 1. rematerialise the segment's forward states ----
         a = [bndbuf[slot, st] for st in range(5)]
         b = [bndbuf[slot, 5 + st] for st in range(5)]
-        ls_a = bscalbuf[slot, 0]
+        ls_a = (bscalbuf[slot, 0], bscalbuf[slot, 5])  # (hi, Kahan c)
         rs = bscalbuf[slot, 1]
         dummy_acc = zb
         for pp in range(pairs_per_seg):
@@ -468,8 +493,9 @@ def _realign_kernel(
             for st in range(NUM_STATES):
                 f_buf[(2 * pp) * 5 + st] = new_b[st]
                 f_buf[(2 * pp + 1) * 5 + st] = new_a[st]
-            lsf_buf[2 * pp] = ls_b
-            lsf_buf[2 * pp + 1] = ls_a
+            # store the compensated VALUE; factors need only ~eps|ls|
+            lsf_buf[2 * pp] = ls_b[0] - ls_b[1]
+            lsf_buf[2 * pp + 1] = ls_a[0] - ls_a[1]
             b = new_b
             a = new_a
 
@@ -477,7 +503,7 @@ def _realign_kernel(
         carry = (
             [bwd1[st] for st in range(NUM_STATES)],
             [bwd2[st] for st in range(NUM_STATES)],
-            scal[3], scal[4],
+            scal[3], scal[4], scal[6], scal[7],
             mea_buf[0], mea_buf[1], mea_buf[2], mea_buf[3],
             mea_buf[4], mea_buf[5],
         )
@@ -500,8 +526,10 @@ def _realign_kernel(
             bwd2[st] = carry[1][st]
         scal[3] = carry[2]
         scal[4] = carry[3]
+        scal[6] = carry[4]
+        scal[7] = carry[5]
         for i in range(6):
-            mea_buf[i] = carry[4 + i]
+            mea_buf[i] = carry[6 + i]
 
         pltpu.make_async_copy(
             dirs_buf.at[pl.ds(slot * SEG, SEG)],
@@ -534,13 +562,13 @@ def _realign_kernel(
     carry = (
         [bwd1[st] for st in range(NUM_STATES)],
         [bwd2[st] for st in range(NUM_STATES)],
-        scal[3], scal[4],
+        scal[3], scal[4], scal[6], scal[7],
         mea_buf[0], mea_buf[1], mea_buf[2], mea_buf[3],
         mea_buf[4], mea_buf[5],
     )
     carry, choice0 = bwd_diag_step(jnp.int32(0), 0, 0, carry)
     dirs_buf[0] = choice0
-    u0 = carry[4]
+    u0 = carry[6]
     score_ref[:, :] = u0[0:1, :]
     cp0 = pltpu.make_async_copy(
         dirs_buf.at[pl.ds(0, 1)],

@@ -30,6 +30,10 @@ inline float clampf(float v, float lo, float hi) {
     return v < lo ? lo : (v > hi ? hi : v);
 }
 
+inline double clampd(double v, double lo, double hi) {
+    return v < lo ? lo : (v > hi ? hi : v);
+}
+
 }  // namespace
 
 extern "C" {
@@ -58,7 +62,10 @@ void pairhmm_cpu_realign_one(
 
     // ---- forward: store the scaled band lattice + per-diag log-scales
     std::vector<float> f((size_t)K1 * SW, 0.0f);
-    std::vector<float> lsf((size_t)K1, 0.0f);
+    // log-scales in double: the EM factors exp(lsf+lsb-loglik) put
+    // running-sum rounding straight into the exponent (see
+    // ops/pairhmm.py _kahan_add)
+    std::vector<double> lsf((size_t)K1, 0.0);
     std::vector<float> cur(SW), prev(SW), prevprev(SW);
 
     for (int s = 0; s < NS; ++s) {
@@ -66,14 +73,14 @@ void pairhmm_cpu_realign_one(
         f[(size_t)s * W] = 1.0f / NS;
     }
     std::memset(prevprev.data(), 0, SW * sizeof(float));
-    float ls1 = 0.0f, ls2 = 0.0f, loglik = 0.0f;
+    double ls1 = 0.0, ls2 = 0.0, loglik = 0.0;
 
     for (int64_t k = 1; k <= K; ++k) {
         const int32_t ok = offsets[k];
         const int32_t d1 = ok - offsets[k - 1];
         const int32_t okm2 = (k >= 2) ? offsets[k - 2] : 0;
         const int32_t d2 = ok - okm2 - 1;
-        const float r = std::exp(clampf(ls2 - ls1, -80.0f, 80.0f));
+        const float r = (float)std::exp(clampd(ls2 - ls1, -80.0, 80.0));
         const int8_t* xck = xc + k * W;
         const int8_t* yck = yc + k * W;
 
@@ -124,11 +131,11 @@ void pairhmm_cpu_realign_one(
         const float safe = scale > 0 ? scale : 1.0f;
         const float inv = 1.0f / safe;
         for (int64_t q = 0; q < SW; ++q) cur[q] *= inv;
-        const float ls_new = ls1 + std::log(safe);
+        const double ls_new = ls1 + std::log((double)safe);
         if ((int32_t)k == kend) {
             float fin = 0;
             for (int s = 0; s < NS; ++s) fin += cur[(size_t)s * W];
-            loglik += std::log(std::max(fin, 1e-37f)) + ls_new;
+            loglik += std::log((double)std::max(fin, 1e-37f)) + ls_new;
         }
         std::memcpy(f.data() + (size_t)k * SW, cur.data(),
                     SW * sizeof(float));
@@ -138,7 +145,7 @@ void pairhmm_cpu_realign_one(
         ls2 = ls1;
         ls1 = ls_new;
     }
-    *loglik_out = loglik;
+    *loglik_out = (float)loglik;
 
     // ---- backward + EM + reverse-MEA (k = K .. 0) ----
     std::vector<float> b1(SW, 0.0f), b2(SW, 0.0f), bn(SW), dest(SW);
@@ -146,7 +153,7 @@ void pairhmm_cpu_realign_one(
     std::vector<float> gm1(W, 0.0f), gm2(W, 0.0f), gd1(W, 0.0f),
         gi1(W, 0.0f);
     std::vector<float> nu(W), ngm(W), ngd(W), ngi(W);
-    float lsb1 = 0.0f, lsb2 = 0.0f;
+    double lsb1 = 0.0, lsb2 = 0.0;
     double trans[25] = {0}, e16[16] = {0}, edel[8] = {0}, eins[8] = {0};
 
     for (int64_t k = K; k >= 0; --k) {
@@ -158,7 +165,7 @@ void pairhmm_cpu_realign_one(
         const int8_t* ynk = yn + k * W;
         const int8_t* xck = xc + k * W;
         const int8_t* yck = yc + k * W;
-        const float r = std::exp(clampf(lsb2 - lsb1, -80.0f, 80.0f));
+        const float r = (float)std::exp(clampd(lsb2 - lsb1, -80.0, 80.0));
         const bool is_end = (int32_t)k == kend;
 
         // destination values aligned onto the current band
@@ -210,12 +217,12 @@ void pairhmm_cpu_realign_one(
         const float safe = scale > 0 ? scale : 1.0f;
         const float inv = 1.0f / safe;
         for (int64_t q = 0; q < SW; ++q) bn[q] *= inv;
-        const float lsb_new = is_end ? 0.0f : lsb1 + std::log(safe);
+        const double lsb_new = is_end ? 0.0 : lsb1 + std::log((double)safe);
 
         // EM transition expectations (moves out of diagonal k)
         const float* fk = f.data() + (size_t)k * SW;
-        const float factor_trans =
-            std::exp(clampf(lsf[k] + lsb1 - loglik, -80.0f, 80.0f));
+        const float factor_trans = (float)std::exp(
+            clampd(lsf[k] + lsb1 - loglik, -80.0, 80.0));
         if (factor_trans > 0) {
             for (int s = 0; s < NS; ++s) {
                 for (int tt = 0; tt < NS; ++tt) {
@@ -229,8 +236,8 @@ void pairhmm_cpu_realign_one(
             }
         }
         // posterior occupancy + emission expectations + MEA gammas
-        const float g_factor =
-            std::exp(clampf(lsf[k] + lsb_new - loglik, -80.0f, 80.0f));
+        const float g_factor = (float)std::exp(
+            clampd(lsf[k] + lsb_new - loglik, -80.0, 80.0));
         for (int w = 0; w < W; ++w) {
             const float g0 = fk[(size_t)0 * W + w] * bn[(size_t)0 * W + w] *
                              g_factor;

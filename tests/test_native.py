@@ -169,3 +169,50 @@ class TestNativePairHmmBaseline:
                 want["dirs"][b], offsets[b], len(y), len(x)
             )
             assert got_cig == want_cig
+
+
+class TestLargeLatticeEmAccuracy:
+    """Regression for the round-1 'phase-B wrong at scale' finding: the
+    EM factors exponentiate lsf + lsb - loglik, so plain-f32 running
+    log-scales put O(K * eps * |partial|) error in the EXPONENT — at
+    K ~ 4000 that's already ~0.5 nats (60% off); at the production
+    K ~ 10^4 it reached 10-24x.  The XLA kernels now carry Kahan
+    compensation (ops/pairhmm._kahan_add) and the C++ baseline
+    accumulates scales in double; both must agree at large K."""
+
+    def test_em_factors_accurate_at_large_k(self):
+        from nanopore_tpu.align.model import PairHmmModel
+        from nanopore_tpu.io.sam import CIG
+        from nanopore_tpu.ops.pairhmm import (
+            make_kernel_params,
+            prepare_banded_batch,
+        )
+        from nanopore_tpu.ops.mea import realign_fused
+        from nanopore_tpu.runtime.native_pairhmm import cpu_realign_batch
+
+        rng = np.random.default_rng(5)
+        model = PairHmmModel.load("nanopore_tpu/models/blasr_hmm_0.txt")
+        params = make_kernel_params(model)
+        L, W, B = 2000, 32, 2
+        pairs = []
+        for _ in range(B):
+            x = rng.integers(0, 4, L).astype(np.int8)
+            y = x.copy()
+            idx = rng.integers(0, L, L // 10)
+            y[idx] = (y[idx] + 1) % 4
+            pairs.append((x, y, [(CIG.M, L)]))
+        batch = prepare_banded_batch(pairs, band_width=W)
+        got = realign_fused(batch, params, segment_size=512)
+        want = cpu_realign_batch(batch, params, 0.5, 0.0)
+        np.testing.assert_allclose(
+            np.asarray(got["loglik"]), want["loglik"], rtol=1e-4
+        )
+        # before the Kahan fix these disagreed by >10x at this K
+        np.testing.assert_allclose(
+            np.asarray(got["score"]), want["score"], rtol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["trans"]).reshape(B, 25),
+            np.asarray(want["trans"]).reshape(B, 25),
+            rtol=5e-3, atol=1e-4,
+        )
