@@ -31,8 +31,11 @@ from nanopore_tpu.ops.mea import (
     mea_decode_batch,
     mea_traceback,
     mea_traceback_fwd,
-    realign_fused,
     rescore_by_posterior,
+)
+from nanopore_tpu.ops.dispatch import (
+    PreparedRealign,
+    preferred_realign_batch_size,
 )
 
 
@@ -47,7 +50,7 @@ def realign_records(
     gap_gamma: float = 0.5,
     match_gamma: float = 0.0,
     band_width: int = 64,
-    batch_size: int = 4,
+    batch_size: int | None = None,
     rescore: bool = False,
 ) -> list[float]:
     """Redecode the cigars of chained global records in place.
@@ -62,6 +65,7 @@ def realign_records(
 
     params = make_kernel_params(model or PairHmmModel.default())
     scores: list[float] = [float("nan")] * len(records)
+    batch_size = preferred_realign_batch_size(batch_size)
 
     # bucket by padded shapes to bound recompiles
     buckets: dict[tuple[int, int], list[int]] = {}
@@ -93,9 +97,16 @@ def realign_records(
                     n_pad_to=n_pad,
                     m_pad_to=m_pad,
                 )
-                yield sub, batch
+                if rescore:
+                    yield sub, batch
+                else:
+                    # kernel-specific repack + upload on this thread too
+                    yield sub, PreparedRealign(
+                        batch, params, gap_gamma, match_gamma
+                    )
 
-    for sub, batch in prefetched(prepared_batches(), depth=2):
+    for sub, prepared in prefetched(prepared_batches(), depth=2):
+        batch = prepared if rescore else prepared.batch
         offs_np = np.asarray(batch.offsets)
         if rescore:
             # two-pass path: the rescore consumes the posterior band
@@ -117,10 +128,9 @@ def realign_records(
                 )
         else:
             # fused rematerialised path: no stored lattice / gamma
-            # bands, so realign batches scale (ops/mea.realign_fused)
-            fused = realign_fused(
-                batch, params, gap_gamma, match_gamma
-            )
+            # bands, so realign batches scale; Pallas kernel on TPU,
+            # XLA scan elsewhere (ops.dispatch)
+            fused = prepared.run()
             dirs_np = np.asarray(fused["dirs"])
             for b, idx in enumerate(sub):
                 rec = records[idx]
@@ -141,7 +151,7 @@ def realign_sam_file(
     match_gamma: float = 0.0,
     hmm_model: PairHmmModel | None = None,
     band_width: int = 64,
-    batch_size: int = 4,
+    batch_size: int | None = None,
     shard: tuple[int, int] | None = None,
 ) -> None:
     """Chain then realign a SAM file (realignSamFileTargetFn semantics).

@@ -27,7 +27,11 @@ from nanopore_tpu.ops.pairhmm import (
     make_kernel_params,
     prepare_banded_batch,
 )
-from nanopore_tpu.ops.mea import mea_traceback_fwd, realign_fused
+from nanopore_tpu.ops.mea import mea_traceback_fwd
+from nanopore_tpu.ops.dispatch import (
+    PreparedRealign,
+    preferred_realign_batch_size,
+)
 
 
 def _next_pow2(x: int) -> int:
@@ -48,7 +52,7 @@ class MapperConfig:
     window_pad: int = 64
     gap_gamma: float = 0.5
     match_gamma: float = 0.0
-    batch_size: int = 8
+    batch_size: int | None = None  # None: ops.dispatch picks per kernel
     max_ref_gap: int = 5000
     max_diag_drift: int = 500
     # extension decode: "mea" = posterior MEA (marginAlign-calibrated),
@@ -201,10 +205,11 @@ class MappingEngine:
             key = (_next_pow2(n), _next_pow2(m))
             buckets.setdefault(key, []).append(c)
 
+        bs = preferred_realign_batch_size(cfg.batch_size)
         results: list[tuple[_Candidate, SamRecord, float]] = []
         for (n_pad, m_pad), group in buckets.items():
-            for i in range(0, len(group), cfg.batch_size):
-                sub = group[i : i + cfg.batch_size]
+            for i in range(0, len(group), bs):
+                sub = group[i : i + bs]
                 results.extend(self._align_batch(sub, n_pad, m_pad, quals))
         by_read: dict[str, list[tuple[_Candidate, SamRecord, float]]] = {}
         for item in results:
@@ -285,20 +290,25 @@ class MappingEngine:
             n_pad_to=n_pad,
             m_pad_to=m_pad,
         )
-        return sub, batch
+        if cfg.decode == "viterbi":
+            return sub, batch
+        # MEA path: the kernel-specific repack/upload happens here, on
+        # the prefetch thread, overlapping the previous batch's kernel.
+        return sub, PreparedRealign(
+            batch, self.params, cfg.gap_gamma, cfg.match_gamma
+        )
 
     def _align_batch(
         self, sub, n_pad, m_pad, quals
     ) -> list[tuple[_Candidate, SamRecord, float]]:
-        _, batch = self._prepare_batch(sub, n_pad, m_pad)
-        return self._consume_batch(sub, batch, quals)
+        _, prep = self._prepare_batch(sub, n_pad, m_pad)
+        return self._consume_batch(sub, prep, quals)
 
     def _consume_batch(
-        self, sub, batch, quals
+        self, sub, prep, quals
     ) -> list[tuple[_Candidate, SamRecord, float]]:
         """Kernel + traceback + record construction for a prepared batch."""
         cfg = self.config
-        offsets = np.asarray(batch.offsets)
         cigars: list[list[tuple[int, int]]] = []
         if cfg.decode == "viterbi":
             from nanopore_tpu.ops.viterbi import (
@@ -306,6 +316,8 @@ class MappingEngine:
                 viterbi_traceback,
             )
 
+            batch = prep
+            offsets = np.asarray(batch.offsets)
             scores, fstates, bps = viterbi_decode_batch(batch, self.params)
             logliks = np.asarray(scores, np.float64)
             bps = np.asarray(bps)
@@ -318,10 +330,10 @@ class MappingEngine:
                 )
         else:
             # fused remat fwd/bwd + reverse-MEA: no stored lattice, so
-            # extension batches scale (ops/mea.realign_fused)
-            fused = realign_fused(
-                batch, self.params, cfg.gap_gamma, cfg.match_gamma
-            )
+            # extension batches scale; backend picked by ops.dispatch
+            # (Pallas on TPU, XLA scan elsewhere)
+            offsets = np.asarray(prep.batch.offsets)
+            fused = prep.run()
             logliks = np.asarray(fused["loglik"], np.float64)
             dirs = np.asarray(fused["dirs"])
             for b, c in enumerate(sub):
@@ -416,6 +428,7 @@ class MappingEngine:
             "Host I/O overlap").  Buckets flush as they fill instead of
             buffering every candidate for the file.
             """
+            bs = preferred_realign_batch_size(cfg.batch_size)
             buckets: dict[tuple[int, int], list[_Candidate]] = {}
             for ridx, (header, seq, qvals) in enumerate(
                 fastq_read(fastq_path)
@@ -434,13 +447,13 @@ class MappingEngine:
                     key = (_next_pow2(n), _next_pow2(m))
                     group = buckets.setdefault(key, [])
                     group.append(c)
-                    if len(group) >= cfg.batch_size:
+                    if len(group) >= bs:
                         buckets[key] = []
                         yield self._prepare_batch(group, *key)
             for key, group in buckets.items():
-                for i in range(0, len(group), cfg.batch_size):
+                for i in range(0, len(group), bs):
                     yield self._prepare_batch(
-                        group[i : i + cfg.batch_size], *key
+                        group[i : i + bs], *key
                     )
 
         results: list[tuple[_Candidate, SamRecord, float]] = []

@@ -1,0 +1,122 @@
+"""Kernel dispatch: route the fused realign to the fastest correct
+backend for the current platform.
+
+The complete ``cactus_realign`` equivalent (reference
+/root/reference/nanopore/analyses/utils.py:587) exists twice here:
+
+* ``ops.mea.realign_fused`` — XLA anti-diagonal scans; runs anywhere
+  (CPU tests, virtual meshes) but is dispatch-latency-bound on TPU.
+* ``ops.pairhmm_pallas_realign.pallas_realign_fused`` — the Pallas
+  production kernel; one fused program per (W, 128-read) batch tile.
+
+``realign_fused_auto`` picks Pallas on real TPU backends for batches
+whose geometry the kernel serves (band width multiple of 8 — per-read
+band offsets ride the streamed code top bits, so mixed-band production
+batches are fine), and the XLA scan elsewhere.  Override with
+``NANOPORE_TPU_KERNEL={auto,pallas,xla}``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from nanopore_tpu.ops.pairhmm import BandedBatch, KernelParams
+from nanopore_tpu.ops.mea import realign_fused
+
+# Platforms with a Mosaic compiler behind them.  Everything else
+# (cpu, virtual test meshes) takes the XLA scan; interpret-mode Pallas
+# is test-only, never a production path.
+_PALLAS_PLATFORMS = ("tpu", "axon")
+
+
+def kernel_choice() -> str:
+    """'pallas' or 'xla' for this process (env override honoured)."""
+    mode = os.environ.get("NANOPORE_TPU_KERNEL", "auto")
+    if mode in ("pallas", "xla"):
+        return mode
+    try:
+        import jax
+
+        platform = jax.default_backend()
+    except Exception:  # pragma: no cover - no backend at all
+        return "xla"
+    return "pallas" if platform in _PALLAS_PLATFORMS else "xla"
+
+
+def pallas_eligible(batch: BandedBatch) -> bool:
+    """Geometry the fused Pallas kernel serves.  Per-read band offsets
+    ride the streamed code top bits, so mixed-band batches need no
+    uniformity check; W=64 is the hardware-validated tile width (the
+    production default throughout — engine.py/em.py band_width=64)."""
+    return batch.xc.shape[-1] == 64
+
+
+def realign_fused_auto(
+    batch: BandedBatch,
+    params: KernelParams,
+    gap_gamma: float = 0.5,
+    match_gamma: float = 0.0,
+) -> dict:
+    """Fused realign (loglik/score/trans/emis/dirs) on the best backend.
+
+    Drop-in for ops.mea.realign_fused; dirs point forward in both
+    implementations (decode with ops.mea.mea_traceback_fwd).
+    """
+    if kernel_choice() == "pallas" and pallas_eligible(batch):
+        from nanopore_tpu.ops.pairhmm_pallas_realign import (
+            pallas_realign_fused,
+        )
+
+        return pallas_realign_fused(batch, params, gap_gamma, match_gamma)
+    return realign_fused(batch, params, gap_gamma, match_gamma)
+
+
+class PreparedRealign:
+    """A realign batch prepared for the chosen kernel.
+
+    Build on the prefetch thread (runtime.prefetch.prefetched): for the
+    Pallas path that is where the host repack + HBM upload happen, so
+    they overlap the previous batch's kernel; run() is then a single
+    pallas_call.  The XLA path defers everything to run() (its inputs
+    are the BandedBatch arrays, already device-resident).
+    """
+
+    def __init__(
+        self,
+        batch: BandedBatch,
+        params: KernelParams,
+        gap_gamma: float = 0.5,
+        match_gamma: float = 0.0,
+    ):
+        self.batch = batch
+        self._params = params
+        self._gg = gap_gamma
+        self._mg = match_gamma
+        if kernel_choice() == "pallas" and pallas_eligible(batch):
+            from nanopore_tpu.ops.pairhmm_pallas_realign import (
+                PallasRealignPlan,
+            )
+
+            self._plan = PallasRealignPlan(
+                batch, params, gap_gamma, match_gamma
+            )
+        else:
+            self._plan = None
+
+    def run(self) -> dict:
+        if self._plan is not None:
+            return self._plan.run()
+        return realign_fused(self.batch, self._params, self._gg, self._mg)
+
+
+def preferred_realign_batch_size(requested: int | None = None) -> int:
+    """Batch size to feed the fused realign.
+
+    The Pallas kernel processes 128 reads per batch tile regardless of
+    occupancy, so production batches should fill whole tiles; the XLA
+    scan is latency-bound and near-free in batch, where smaller batches
+    bound host pack latency.  An explicit request wins.
+    """
+    if requested:
+        return requested
+    return 128 if kernel_choice() == "pallas" else 4

@@ -271,8 +271,9 @@ def _realign_fused_single(params, batch_elem, gap_gamma, match_gamma,
     init = _fwd_carry_init(W)
     fin_carry, boundaries = lax.scan(seg_fwd, init, fxs_seg)
     loglik = fin_carry[-1]
+    fin_end = fin_carry[-2]
 
-    bwd_step = _make_bwd_step(params, loglik, m, n, k_end, W,
+    bwd_step = _make_bwd_step(params, fin_end, m, n, k_end, W,
                               emit_gammas=True)
     gg = jnp.float32(gap_gamma)
     mg = jnp.float32(match_gamma)
@@ -315,12 +316,12 @@ def _realign_fused_single(params, batch_elem, gap_gamma, match_gamma,
 
     def seg_bwd(carry, seg_in):
         fwd_carry_in, seg_bxs, seg_fxs = seg_in
-        _, (f_seg, lsf_seg) = lax.scan(fwd_store, fwd_carry_in, seg_fxs,
-                                       unroll=SCAN_UNROLL)
+        _, (f_seg, sfinv_seg) = lax.scan(fwd_store, fwd_carry_in,
+                                         seg_fxs, unroll=SCAN_UNROLL)
         k_, o_, d1_, d2_, xn_, yn_, xc_, yc_ = seg_bxs
         xs = (
             k_[::-1], o_[::-1], d1_[::-1], d2_[::-1],
-            f_seg[::-1], lsf_seg[::-1],
+            f_seg[::-1], sfinv_seg[::-1],
             xn_[::-1], yn_[::-1], xc_[::-1], yc_[::-1],
         )
         new_carry, dirs_seg = lax.scan(fused_step, carry, xs,
@@ -335,7 +336,7 @@ def _realign_fused_single(params, batch_elem, gap_gamma, match_gamma,
     )
     # final step: diagonal 0 (f = start tile at zero log-scale)
     xs0 = (jnp.int32(0), offsets[0], d1n[0], d2n2[0],
-           _fwd_start(W), jnp.float32(0.0), xn[0], yn[0], xc[0], yc[0])
+           _fwd_start(W), jnp.float32(1.0), xn[0], yn[0], xc[0], yc[0])
     carry, choice0 = fused_step(carry, xs0)
     bcarry, u0 = carry[0], carry[1]
     trans, e16, edel, eins = bcarry[-4:]

@@ -324,51 +324,63 @@ def _make_fwd_step(params: KernelParams, m, n, k_end, W: int,
     """The per-anti-diagonal forward step, shared by the full-lattice scan
     and the segmented/rematerialised EM path.
 
-    Carry: (prev, prevprev, ls1, ls2, c1, c2, loglik) — (ls, c) are the
-    Kahan hi/compensation pair of the running log-scale; the represented
-    value is ls - c.
+    Carry: (prev, prevprev, prev_inv, ls, c, fin_end, loglik) —
+    prev_inv is the LINEAR 1/safe of the previous diagonal's rescale
+    (replacing exp(ls2 - ls1): TPU log/exp carry small absolute biases
+    that accumulate over 10^4 diagonals; the linear ratio is exact to
+    f32 rounding); (ls, c) is the Kahan pair of the running log-scale
+    (used only for the final loglik); fin_end is the band-start state
+    mass captured at k_end (seeds the backward g-factor product, see
+    _make_bwd_step).
     """
     t = params.t
     e_match = params.e_match_flat.reshape(5, 5)
     e_gap = params.e_gap_flat.reshape(5, 5)
 
     def step(carry, xs):
-        prev, prevprev, ls1, ls2, c1, c2, loglik = carry
+        prev, prevprev, prev_inv, ls1, c1, fin_end, loglik = carry
         k, o_k, d1, d2, x_cur, y_cur = xs
 
         oh_x = _onehot5(x_cur, W)
         oh_y = _onehot5(y_cur, W)
-        e_m = ((e_match @ oh_y) * oh_x).sum(axis=0)
-        gx = e_gap @ oh_x  # (5, W): per-state delete emissions
-        gy = e_gap @ oh_y  # (5, W): per-state insert emissions
+        # precision="highest": default TPU matmul rounds inputs to
+        # bf16; that per-step state rounding accumulates O(K) nats of
+        # bias in the running log-scales, which the EM factors
+        # exponentiate (measured 10-24x trans error at K=10^4 on v5e)
+        e_m = (jnp.matmul(e_match, oh_y, precision="highest")
+               * oh_x).sum(axis=0)
+        gx = jnp.matmul(e_gap, oh_x, precision="highest")  # (5, W) dels
+        gy = jnp.matmul(e_gap, oh_y, precision="highest")  # (5, W) ins
 
-        # scales accumulate negative increments, so ls2 >= ls1 and r >= 1
-        r = jnp.exp(jnp.clip((ls2 - ls1) + (c1 - c2), -80.0, 80.0))
-        diag_pred = _shift_sel(prevprev, d2, -1, 1) * r
+        # prev is scaled by safe_{k-1} relative to prevprev: undo it
+        diag_pred = _shift_sel(prevprev, d2, -1, 1) * prev_inv
         left_pred = _shift_sel(prev, d1 - 1, -1, 0)
         up_pred = _shift_sel(prev, d1, 0, 1)
 
-        new_m = e_m * jnp.einsum("s,sw->w", t[:, 0], diag_pred)
-        new_d1 = gx[1] * jnp.einsum("s,sw->w", t[:, 1], left_pred)
-        new_i1 = gy[2] * jnp.einsum("s,sw->w", t[:, 2], up_pred)
-        new_d2 = gx[3] * jnp.einsum("s,sw->w", t[:, 3], left_pred)
-        new_i2 = gy[4] * jnp.einsum("s,sw->w", t[:, 4], up_pred)
+        new_m = e_m * jnp.einsum("s,sw->w", t[:, 0], diag_pred, precision="highest")
+        new_d1 = gx[1] * jnp.einsum("s,sw->w", t[:, 1], left_pred, precision="highest")
+        new_i1 = gy[2] * jnp.einsum("s,sw->w", t[:, 2], up_pred, precision="highest")
+        new_d2 = gx[3] * jnp.einsum("s,sw->w", t[:, 3], left_pred, precision="highest")
+        new_i2 = gy[4] * jnp.einsum("s,sw->w", t[:, 4], up_pred, precision="highest")
         new = jnp.stack([new_m, new_d1, new_i1, new_d2, new_i2])
         new = new * _valid_mask(k, o_k, m, n, W)[None, :]
 
         scale = jnp.max(new)
         safe = jnp.where(scale > 0, scale, 1.0)
-        new = new / safe
+        inv = 1.0 / safe
+        new = new * inv
         ls_new, c_new = _kahan_add(ls1, c1, jnp.log(safe))
 
         fin = jnp.sum(new[:, 0])
+        is_end = k == k_end
+        fin_end = jnp.where(is_end, jnp.maximum(fin, 1e-37), fin_end)
         loglik = loglik + jnp.where(
-            k == k_end,
+            is_end,
             jnp.log(jnp.maximum(fin, 1e-37)) + (ls_new - c_new),
             0.0,
         )
-        out = (new, ls_new - c_new) if store_lattice else None
-        return (new, prev, ls_new, ls1, c_new, c1, loglik), out
+        out = (new, inv) if store_lattice else None
+        return (new, prev, inv, ls_new, c_new, fin_end, loglik), out
 
     return step
 
@@ -382,12 +394,20 @@ def _fwd_carry_init(W: int):
     return (
         _fwd_start(W),
         jnp.zeros((NUM_STATES, W), jnp.float32),
-        0.0, 0.0, 0.0, 0.0, 0.0,
+        1.0,  # prev_inv
+        0.0, 0.0,  # (ls, c)
+        1.0,  # fin_end
+        0.0,  # loglik
     )
 
 
 def _forward_scan_single(params: KernelParams, batch_elem, store_lattice: bool):
-    """Forward over one read. Returns (loglik, f_hat[K+1,5,W], lsf[K+1])."""
+    """Forward over one read.
+
+    Returns (loglik, fin_end, f_hat[K+1,5,W], sfinv[K+1]) — sfinv is the
+    per-diagonal rescale INVERSE (linear), fin_end the band-start state
+    mass at k_end; both feed the backward g-factor product.
+    """
     xc, yc, xn, yn, offsets, m, n, k_end, W = batch_elem
     K = offsets.shape[0] - 1
 
@@ -404,13 +424,14 @@ def _forward_scan_single(params: KernelParams, batch_elem, store_lattice: bool):
     init = _fwd_carry_init(W)
     (fin_carry), ys = lax.scan(step, init, xs, unroll=SCAN_UNROLL)
     loglik = fin_carry[-1]
+    fin_end = fin_carry[-2]
     if store_lattice:
-        f_hat, lsf = ys
-        # prepend diagonal 0
+        f_hat, sfinv = ys
+        # prepend diagonal 0 (unscaled: inverse 1)
         f_all = jnp.concatenate([start[None], f_hat], axis=0)
-        ls_all = jnp.concatenate([jnp.zeros((1,)), lsf], axis=0)
-        return loglik, f_all, ls_all
-    return loglik, None, None
+        sfinv_all = jnp.concatenate([jnp.ones((1,)), sfinv], axis=0)
+        return loglik, fin_end, f_all, sfinv_all
+    return loglik, fin_end, None, None
 
 
 @functools.partial(jax.jit, static_argnames=("band_width",))
@@ -433,36 +454,55 @@ def forward_loglik(batch: BandedBatch, params: KernelParams) -> jax.Array:
 # --------------------------------------------------------------------- #
 # Forward-backward: posterior bands + EM expectations
 # --------------------------------------------------------------------- #
-def _make_bwd_step(params: KernelParams, loglik, m, n, k_end, W: int,
+def _make_bwd_step(params: KernelParams, fin_end, m, n, k_end, W: int,
                    emit_gammas: bool):
     """The per-anti-diagonal backward/EM step, shared by the full-lattice
-    scan and the segmented/rematerialised EM path."""
+    scan and the segmented/rematerialised EM path.
+
+    The EM factor exp(lsf_k + lsb_k - loglik) is maintained as a LINEAR
+    running product G (the "g-factor"):
+
+        G_{k_end} = 1 / fin_end              (= exp(lsf_end - loglik))
+        ft_k      = G_{k+1} * sfinv_{k+1}    (transition factor at k)
+        G_k       = ft_k * safe_b_k
+
+    using the per-diagonal forward rescale inverses (sfinv, streamed in
+    xs) and backward rescale factors — all linear-space quantities.
+    The previous formulation exponentiated differences of O(K)-nat log
+    sums; TPU log/exp carry small ABSOLUTE biases that accumulate over
+    10^4 diagonals into O(1)-O(10) nats of exponent error (measured
+    10-24x on trans/score at L=5000 on v5e while CPU was exact).  The
+    product form is exact to f32 rounding per step and needs no
+    transcendentals at all.
+    """
     t = params.t
     e_match = params.e_match_flat.reshape(5, 5)
     e_gap = params.e_gap_flat.reshape(5, 5)
+    inv_fin = 1.0 / fin_end
 
     def step(carry, xs):
-        bnext, bnext2, lsb1, lsb2, cb1, cb2, trans, e16, edel, eins = carry
-        k, o_k, d1n, d2n2, f_hat, lsf, x_next, y_next, x_cur, y_cur = xs
+        bnext, bnext2, prev_inv_b, prev_sfinv, g_next, trans, e16, edel, \
+            eins = carry
+        k, o_k, d1n, d2n2, f_hat, sfinv, x_next, y_next, x_cur, y_cur = xs
 
         oh_xn = _onehot5(x_next, W)
         oh_yn = _onehot5(y_next, W)
-        e_m_next = ((e_match @ oh_yn) * oh_xn).sum(axis=0)
-        gx_next = e_gap @ oh_xn
-        gy_next = e_gap @ oh_yn
+        e_m_next = (jnp.matmul(e_match, oh_yn, precision="highest")
+                    * oh_xn).sum(axis=0)
+        gx_next = jnp.matmul(e_gap, oh_xn, precision="highest")
+        gy_next = jnp.matmul(e_gap, oh_yn, precision="highest")
         e_d1_next, e_d2_next = gx_next[1], gx_next[3]
         e_i1_next, e_i2_next = gy_next[2], gy_next[4]
 
-        r = jnp.exp(jnp.clip((lsb2 - lsb1) + (cb1 - cb2), -80.0, 80.0))
-        # destination values aligned onto current band
-        bM_dest = _shift_sel(bnext2[0], -d2n2, -1, 1) * r * e_m_next
+        # bnext2 is scaled by safe_b_{k+1} relative to bnext: undo it
+        bM_dest = _shift_sel(bnext2[0], -d2n2, -1, 1) * prev_inv_b * e_m_next
         bD1_dest = _shift_sel(bnext[1], 1 - d1n, 0, 1) * e_d1_next
         bD2_dest = _shift_sel(bnext[3], 1 - d1n, 0, 1) * e_d2_next
         bI1_dest = _shift_sel(bnext[2], -d1n, -1, 0) * e_i1_next
         bI2_dest = _shift_sel(bnext[4], -d1n, -1, 0) * e_i2_next
 
         dest = jnp.stack([bM_dest, bD1_dest, bI1_dest, bD2_dest, bI2_dest])
-        new = jnp.einsum("st,tw->sw", t, dest)
+        new = jnp.einsum("st,tw->sw", t, dest, precision="highest")
         new = new * _valid_mask(k, o_k, m, n, W)[None, :]
 
         # inject the end condition at k == m + n
@@ -472,35 +512,35 @@ def _make_bwd_step(params: KernelParams, loglik, m, n, k_end, W: int,
 
         scale = jnp.max(new)
         safe = jnp.where(scale > 0, scale, 1.0)
-        new = new / safe
-        lsb_k, cb_k = _kahan_add(lsb1, cb1, jnp.log(safe))
-        lsb_new = jnp.where(is_end, 0.0, lsb_k)
-        cb_new = jnp.where(is_end, 0.0, cb_k)
+        inv_b = 1.0 / safe
+        new = new * inv_b
 
         # ---- EM transition expectations (moves out of diagonal k) ----
-        # dest[t, b] = e_t(dest cell) * b_t(dest cell) at running scale lsb1
-        # (bnext2 terms folded onto lsb1 via r); f_hat at scale lsf.
-        # E[s, t] += sum_b f_s(b) * T[s, t] * dest[t, b] * exp(lsf+lsb1-L)
-        factor_trans = jnp.exp(
-            jnp.clip(lsf + (lsb1 - cb1) - loglik, -80.0, 80.0)
-        )
-        trans = trans + t * jnp.einsum("sw,tw->st", f_hat, dest) * factor_trans
+        # dest[t, b] = e_t(dest cell) * b_t(dest cell) at b's running
+        # scale; f_hat at the forward running scale.
+        factor_trans = g_next * prev_sfinv
+        trans = trans + t * jnp.einsum(
+            "sw,tw->st", f_hat, dest, precision="highest"
+        ) * factor_trans
 
         # ---- posterior occupancy of diagonal k ----
-        g_factor = jnp.exp(
-            jnp.clip(lsf + (lsb_new - cb_new) - loglik, -80.0, 80.0)
-        )
-        gamma = f_hat * new * g_factor  # (5, W)
+        g_k = jnp.where(is_end, inv_fin, factor_trans * safe)
+        g_k = jnp.minimum(g_k, 3e37)  # keep dead lanes finite
+        gamma = f_hat * new * g_k  # (5, W)
 
         oh4_x = _onehot5(x_cur, W)[:4]  # (4, W): N columns drop out
         oh4_y = _onehot5(y_cur, W)[:4]
-        e16 = e16 + jnp.einsum("w,aw,bw->ab", gamma[0], oh4_x, oh4_y).reshape(16)
-        edel = edel + jnp.stack(
-            [oh4_x @ gamma[1], oh4_x @ gamma[3]]
-        )
-        eins = eins + jnp.stack(
-            [oh4_y @ gamma[2], oh4_y @ gamma[4]]
-        )
+        e16 = e16 + jnp.einsum(
+            "w,aw,bw->ab", gamma[0], oh4_x, oh4_y, precision="highest"
+        ).reshape(16)
+        edel = edel + jnp.stack([
+            jnp.matmul(oh4_x, gamma[1], precision="highest"),
+            jnp.matmul(oh4_x, gamma[3], precision="highest"),
+        ])
+        eins = eins + jnp.stack([
+            jnp.matmul(oh4_y, gamma[2], precision="highest"),
+            jnp.matmul(oh4_y, gamma[4], precision="highest"),
+        ])
 
         out = (
             (gamma[0], gamma[1] + gamma[3], gamma[2] + gamma[4])
@@ -508,7 +548,7 @@ def _make_bwd_step(params: KernelParams, loglik, m, n, k_end, W: int,
             else None
         )
         return (
-            (new, bnext, lsb_new, lsb1, cb_new, cb1, trans, e16, edel, eins),
+            (new, bnext, inv_b, sfinv, g_k, trans, e16, edel, eins),
             out,
         )
 
@@ -533,10 +573,9 @@ def _bwd_init(W: int):
     return (
         jnp.zeros((NUM_STATES, W), jnp.float32),
         jnp.zeros((NUM_STATES, W), jnp.float32),
-        0.0,
-        0.0,
-        0.0,  # cb1 Kahan compensation
-        0.0,  # cb2
+        1.0,  # prev_inv_b (1/safe_b of the diagonal above)
+        1.0,  # prev_sfinv (forward rescale inverse of the diag above)
+        0.0,  # g_next (g-factor of the diagonal above; 0 until k_end)
         jnp.zeros((5, 5), jnp.float32),
         jnp.zeros((16,), jnp.float32),
         jnp.zeros((2, 4), jnp.float32),
@@ -568,18 +607,19 @@ def _forward_backward_single(params: KernelParams, batch_elem):
     xc, yc, xn, yn, offsets, m, n, k_end, W = batch_elem
     K = offsets.shape[0] - 1
 
-    loglik, f_all, lsf_all = _forward_scan_single(
+    loglik, fin_end, f_all, sfinv_all = _forward_scan_single(
         params, batch_elem, store_lattice=True
     )
 
     # scan k from K down to 0
-    step = _make_bwd_step(params, loglik, m, n, k_end, W, emit_gammas=True)
+    step = _make_bwd_step(params, fin_end, m, n, k_end, W, emit_gammas=True)
 
     ks = jnp.arange(K, -1, -1)
     o_k = offsets[::-1]
     d1n_fwd, d2n2_fwd = _bwd_xs_arrays(offsets)
     xs = (
-        ks, o_k, d1n_fwd[::-1], d2n2_fwd[::-1], f_all[::-1], lsf_all[::-1],
+        ks, o_k, d1n_fwd[::-1], d2n2_fwd[::-1], f_all[::-1],
+        sfinv_all[::-1],
         xn[::-1], yn[::-1], xc[::-1], yc[::-1],
     )
 
@@ -676,8 +716,9 @@ def _em_expectations_single(params: KernelParams, batch_elem,
     init = _fwd_carry_init(W)
     fin_carry, boundaries = lax.scan(seg_fwd, init, fxs_seg)
     loglik = fin_carry[-1]
+    fin_end = fin_carry[-2]
 
-    bwd_step = _make_bwd_step(params, loglik, m, n, k_end, W,
+    bwd_step = _make_bwd_step(params, fin_end, m, n, k_end, W,
                               emit_gammas=False)
     d1n, d2n2 = _bwd_xs_arrays(offsets)
     bxs = (ks, o_k, d1n[1:], d2n2[1:], xn[1:], yn[1:], xc[1:], yc[1:])
@@ -690,12 +731,12 @@ def _em_expectations_single(params: KernelParams, batch_elem,
 
     def seg_bwd(carry, seg_in):
         fwd_carry_in, seg_bxs, seg_fxs = seg_in
-        _, (f_seg, lsf_seg) = lax.scan(fwd_store, fwd_carry_in, seg_fxs,
-                                       unroll=SCAN_UNROLL)
+        _, (f_seg, sfinv_seg) = lax.scan(fwd_store, fwd_carry_in,
+                                         seg_fxs, unroll=SCAN_UNROLL)
         k_, o_, d1_, d2_, xn_, yn_, xc_, yc_ = seg_bxs
         xs = (
             k_[::-1], o_[::-1], d1_[::-1], d2_[::-1],
-            f_seg[::-1], lsf_seg[::-1],
+            f_seg[::-1], sfinv_seg[::-1],
             xn_[::-1], yn_[::-1], xc_[::-1], yc_[::-1],
         )
         new_carry, _ = lax.scan(bwd_step, carry, xs, unroll=SCAN_UNROLL)
@@ -704,7 +745,7 @@ def _em_expectations_single(params: KernelParams, batch_elem,
     carry, _ = lax.scan(seg_bwd, _bwd_init(W), (bnd_rev, bxs_rev, fxs_rev))
     # diagonal 0: forward value is the start tile at zero log-scale
     xs0 = (jnp.int32(0), offsets[0], d1n[0], d2n2[0],
-           _fwd_start(W), jnp.float32(0.0), xn[0], yn[0], xc[0], yc[0])
+           _fwd_start(W), jnp.float32(1.0), xn[0], yn[0], xc[0], yc[0])
     carry, _ = bwd_step(carry, xs0)
     trans, e16, edel, eins = carry[-4:]
     return {

@@ -62,14 +62,23 @@ CHUNK = 256  # diagonals per DMA chunk (must be even)
 BT = 128  # batch-tile width (lanes)
 
 
-def _unpack_onehots(xy):
-    """Packed int8 codes (x*8+y) -> per-code one-hot (W, BT) f32 lists."""
-    xy32 = xy.astype(jnp.int32)
-    xv = xy32 >> 3
+def _unpack_onehots32(xy32):
+    """int32 packed codes (x*8+y) -> per-code one-hot (W, BT) f32 lists.
+
+    Bits 6/7 may carry per-read band-delta flags (pairhmm_pallas_realign)
+    and int8->int32 sign-extends bit 7, so both x and y extractions mask
+    to 3 bits.
+    """
+    xv = (xy32 >> 3) & 7
     yv = xy32 & 7
     oh_x = [(xv == v).astype(jnp.float32) for v in range(5)]
     oh_y = [(yv == v).astype(jnp.float32) for v in range(5)]
     return oh_x, oh_y
+
+
+def _unpack_onehots(xy):
+    """Packed int8 codes (x*8+y) -> per-code one-hot (W, BT) f32 lists."""
+    return _unpack_onehots32(xy.astype(jnp.int32))
 
 
 def _kernel(

@@ -52,7 +52,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nanopore_tpu.ops.pairhmm import BandedBatch, KernelParams
-from nanopore_tpu.ops.pairhmm_pallas import _unpack_onehots
+from nanopore_tpu.ops.pairhmm_pallas import (
+    _unpack_onehots,
+    _unpack_onehots32,
+)
 
 NUM_STATES = 5
 BT = 128  # batch-tile width (lanes)
@@ -64,10 +67,6 @@ DIR_NONE = 3
 
 def _realign_kernel(
     # scalar-prefetch (SMEM)
-    d1_ref,  # (K_pad,) int32: o[k]-o[k-1] for diag k=1.. (fwd "d1")
-    d2_ref,  # (K_pad,) int32: o[k]-o[k-2]-1 (fwd "d2")
-    d1n_ref,  # (K_pad+1,) int32: o[k+1]-o[k] (bwd d1n, index k)
-    d2n2_ref,  # (K_pad+1,) int32: o[k+2]-o[k]-1 (bwd d2n2, index k)
     tf_ref,  # (25,) f32 transitions [from*5+to]
     emf_ref,  # (36,) f32 match emissions [x*6+y]
     egf_ref,  # (30,) f32 gap emissions [state*6+base]
@@ -75,6 +74,13 @@ def _realign_kernel(
     # tensor inputs
     kend_ref,  # (1, BT) int32 VMEM block
     xy0_ref,  # (1, W, BT) int8 VMEM block: packed NEXT codes at diag 0
+    # Packed code tiles additionally carry the PER-READ band geometry
+    # (generalising --diagonalExpansion banding to per-read guide bands,
+    # reference utils.py:587): bits 0-2 y code, 3-5 x code, and the
+    # read's Lipschitz-1 band offset deltas in the top bits —
+    #   xyc bit 6 = d1[k]   (o[k] - o[k-1]),  bit 7 = d1[k-1]
+    #   xyn bit 6 = d1[k+1] (o[k+1] - o[k]),  bit 7 = d1[k+2]
+    # so every shift amount the recurrences need is derivable per lane.
     xyc_hbm,  # (NB, K_pad, W, BT) int8: packed cur codes (x[j-1],y[i-1])
     xyn_hbm,  # (NB, K_pad, W, BT) int8: packed next codes (x[j],y[i])
     # outputs
@@ -97,15 +103,16 @@ def _realign_kernel(
     bndbuf,  # (2, 10, W, BT) f32 boundary in
     bscalbuf,  # (2, 8, 1, BT) f32 boundary scalars in
     f_buf,  # (SEG*5, W, BT) f32 rematerialised forward states
-    lsf_buf,  # (SEG, 1, BT) f32 their log-scales
+    sfinv_buf,  # (SEG, 1, BT) f32 their rescale inverses (linear)
     sA,  # (5, W, BT) f32 forward even-diag state
     sB,  # (5, W, BT) f32 forward odd-diag state
     bwd1,  # (5, W, BT) f32 backward state b[k+1]
     bwd2,  # (5, W, BT) f32 backward state b[k+2]
     em_buf,  # (57, W, BT) f32: 0-24 trans, 25-40 e16, 41-48 edel, 49-56 eins
     mea_buf,  # (6, W, BT) f32: u1, u2, gm1, gm2, gd1, gi1
-    scal,  # (8, 1, BT) f32: 0 lsA, 1 rs, 2 loglik, 3 lsb1, 4 lsb2,
-    #        5 lsA Kahan comp, 6 lsb1 comp, 7 lsb2 comp (value = hi - c)
+    scal,  # (8, 1, BT) f32: 0 lsA hi, 1 rs, 2 loglik, 3 fin(k_end),
+    #        4 prev bwd rescale inv, 5 lsA Kahan comp, 6 g-factor G,
+    #        7 fwd rescale inv of the diag above the current segment
     dirs_buf,  # (2*SEG, W, BT) int8
     in_sems,  # DMA (4, 2)
     out_sems,  # DMA (2,)
@@ -140,11 +147,25 @@ def _realign_kernel(
             return jnp.where(row < W - s, rolled, fill)
         return jnp.where(row >= -s, rolled, fill)
 
-    def sel_shift(arr, s, lo, hi, fill=0.0):
-        out = shift_w(arr, lo, fill)
-        for v in range(lo + 1, hi + 1):
-            out = jnp.where(s == v, shift_w(arr, v, fill), out)
+    def lane_shift(arr, d, lo, hi, fill=0.0):
+        """Per-LANE band shift: d is an int32 (W, BT) tile of per-read
+        shift amounts in [lo, hi] (constant along W).  Blends the
+        statically shifted variants through f32 masks — exactly one
+        mask is 1 per lane, so the sum selects; (1, BT)-style i1
+        predicates never feed (W, BT) selects (Mosaic v5e lowering
+        hazard, see bwd end-condition note)."""
+        out = None
+        for v in range(lo, hi + 1):
+            mv = (d == v).astype(jnp.float32)
+            sv = shift_w(arr, v, fill)
+            out = mv * sv if out is None else out + mv * sv
         return out
+
+    def band_bits(xy32):
+        """Per-read band deltas from the packed code top bits."""
+        b6 = (xy32 >> 6) & 1
+        b7 = (xy32 >> 7) & 1
+        return b6, b7
 
     def match_emission(oh_x, oh_y):
         e_m = zeros
@@ -182,20 +203,26 @@ def _realign_kernel(
         t = hi + y
         return t, (t - hi) - y
 
-    def fwd_diag_step(k_new, xy, prev, prevprev, r, ls_cur, acc, rescale):
+    def fwd_diag_step(k_new, xy, prev, prevprev, r, ls_cur, acc, fin_reg,
+                      rescale):
         """One forward anti-diagonal (identical math to pairhmm_pallas).
 
-        ``ls_cur`` is the (hi, c) Kahan pair of the running log-scale.
+        ``ls_cur`` is the (hi, c) Kahan pair of the running log-scale
+        (feeds only the loglik output); per-read band shift amounts come
+        from the code tiles' top bits; ``fin_reg`` captures the
+        band-start mass at each lane's k_end (seeds the backward
+        g-factor product).
         """
-        d1 = d1_ref[k_new - 1]
-        d2 = d2_ref[k_new - 1]
-        oh_x, oh_y = _unpack_onehots(xy)
+        xy32 = xy.astype(jnp.int32)
+        d1, d1p = band_bits(xy32)  # o[k]-o[k-1], o[k-1]-o[k-2] per lane
+        d2 = d1 + d1p - 1
+        oh_x, oh_y = _unpack_onehots32(xy32)
         e_m = match_emission(oh_x, oh_y)
         gx1, gx3, gy2, gy4 = gap_emissions(oh_x, oh_y)
 
-        diag = [sel_shift(pp, d2, -1, 1) * r for pp in prevprev]
-        left = [sel_shift(pv, d1 - 1, -1, 0) for pv in prev]
-        up = [sel_shift(pv, d1, 0, 1) for pv in prev]
+        diag = [lane_shift(pp, d2, -1, 1) * r for pp in prevprev]
+        left = [lane_shift(pv, d1 - 1, -1, 0) for pv in prev]
+        up = [lane_shift(pv, d1, 0, 1) for pv in prev]
 
         new = [
             e_m * trans_sum(diag, 0),
@@ -221,12 +248,14 @@ def _realign_kernel(
         fin = zb
         for s in range(NUM_STATES):
             fin = fin + new[s][0:1, :]
+        is_end = k_new == kend
+        fin_reg = jnp.where(is_end, jnp.maximum(fin, 1e-37), fin_reg)
         acc = acc + jnp.where(
-            k_new == kend,
+            is_end,
             jnp.log(jnp.maximum(fin, 1e-37)) + (ls_hi - ls_c),
             0.0,
         )
-        return new, (ls_hi, ls_c), safe_inv, acc
+        return new, (ls_hi, ls_c), safe_inv, acc, fin_reg
 
     # ================= Phase A: forward + boundary dumps =================
     start_tile = jnp.where(row == 0, 1.0 / NUM_STATES, 0.0)
@@ -236,6 +265,7 @@ def _realign_kernel(
     scal[0] = zb  # lsA hi
     scal[1] = ones_b  # rs
     scal[2] = zb  # loglik acc
+    scal[3] = ones_b  # fin at k_end (1.0 for never-ending pad lanes)
     scal[5] = zb  # lsA Kahan compensation (value = hi - c)
 
     def chunk_dma(c, slot):
@@ -285,13 +315,13 @@ def _realign_kernel(
             k0 = p * 2
             a = [sA[st] for st in range(NUM_STATES)]
             b = [sB[st] for st in range(NUM_STATES)]
-            new_b, ls_b, _, acc = fwd_diag_step(
+            new_b, ls_b, _, acc, fin_reg = fwd_diag_step(
                 k0 + 1, bufA[t], a, b, scal[1], (scal[0], scal[5]),
-                scal[2], rescale=False,
+                scal[2], scal[3], rescale=False,
             )
-            new_a, ls_a2, inv, acc = fwd_diag_step(
+            new_a, ls_a2, inv, acc, fin_reg = fwd_diag_step(
                 k0 + 2, bufA[t + 1], new_b, a, ones_b, ls_b, acc,
-                rescale=True,
+                fin_reg, rescale=True,
             )
             for st in range(NUM_STATES):
                 sB[st] = new_b[st]
@@ -300,6 +330,7 @@ def _realign_kernel(
             scal[5] = ls_a2[1]
             scal[1] = inv
             scal[2] = acc
+            scal[3] = fin_reg
             return 0
 
         lax.fori_loop(0, pairs_per_chunk, pair_body, 0)
@@ -319,10 +350,11 @@ def _realign_kernel(
     for st in range(NUM_STATES):
         bwd1[st] = zeros
         bwd2[st] = zeros
-    scal[3] = zb  # lsb1 hi
-    scal[4] = zb  # lsb2 hi
-    scal[6] = zb  # lsb1 Kahan compensation
-    scal[7] = zb  # lsb2 Kahan compensation
+    # scal[3] holds fin from phase A (do not clobber)
+    scal[4] = ones_b  # prev backward rescale inverse (1/safe_b of k+1)
+    scal[6] = zb  # g-factor G (0 until a lane hits its k_end)
+    scal[7] = ones_b  # forward rescale inverse of the diagonal above
+    inv_fin = 1.0 / scal[3]
 
     def seg_dmas(s, slot):
         k0 = s * SEG
@@ -350,21 +382,29 @@ def _realign_kernel(
     for d in seg_dmas(S - 1, (S - 1) % 2):
         d.start()
 
-    def bwd_diag_step(k, kl, slot, carry):
-        """One backward + EM + MEA diagonal (k traced, kl static)."""
-        (b1, b2, lsb1, lsb2, cb1, cb2, u1, u2, gm1, gm2, gd1, gi1) = carry
-        d1n = d1n_ref[k]
-        d2n2 = d2n2_ref[k]
-        oh_xn, oh_yn = _unpack_onehots(bufn[slot * SEG + kl])
+    def bwd_diag_step(k, kl, slot, sfinv_next, carry):
+        """One backward + EM + MEA diagonal (k traced, kl static).
+
+        ``sfinv_next`` is the forward rescale INVERSE of diagonal k+1;
+        the EM factor runs as the linear g-factor product
+        ft_k = G_{k+1} * sfinv_{k+1}, G_k = ft_k * safe_b_k (seeded
+        1/fin at k_end) — no log/exp in the loop, so TPU transcendental
+        bias cannot accumulate (see ops/pairhmm._make_bwd_step).
+        """
+        (b1, b2, binv_prev, g_next, u1, u2, gm1, gm2, gd1, gi1) = carry
+        xyn32 = bufn[slot * SEG + kl].astype(jnp.int32)
+        d1n, d1n2 = band_bits(xyn32)  # o[k+1]-o[k], o[k+2]-o[k+1]
+        d2n2 = d1n + d1n2 - 1
+        oh_xn, oh_yn = _unpack_onehots32(xyn32)
         e_m_next = match_emission(oh_xn, oh_yn)
         gx1n, gx3n, gy2n, gy4n = gap_emissions(oh_xn, oh_yn)
 
-        r = jnp.exp(jnp.clip((lsb2 - lsb1) + (cb1 - cb2), -80.0, 80.0))
-        bM = sel_shift(b2[0], -d2n2, -1, 1) * r * e_m_next
-        bD1 = sel_shift(b1[1], 1 - d1n, 0, 1) * gx1n
-        bD2 = sel_shift(b1[3], 1 - d1n, 0, 1) * gx3n
-        bI1 = sel_shift(b1[2], -d1n, -1, 0) * gy2n
-        bI2 = sel_shift(b1[4], -d1n, -1, 0) * gy4n
+        # b2 is scaled by safe_b_{k+1} relative to b1: undo it
+        bM = lane_shift(b2[0], -d2n2, -1, 1) * binv_prev * e_m_next
+        bD1 = lane_shift(b1[1], 1 - d1n, 0, 1) * gx1n
+        bD2 = lane_shift(b1[3], 1 - d1n, 0, 1) * gx3n
+        bI1 = lane_shift(b1[2], -d1n, -1, 0) * gy2n
+        bI2 = lane_shift(b1[4], -d1n, -1, 0) * gy4n
         dest = [bM, bD1, bI1, bD2, bI2]
 
         new = []
@@ -388,25 +428,18 @@ def _realign_kernel(
         safe = jnp.where(scale > 0, scale, 1.0)
         inv = 1.0 / safe
         new = [x * inv for x in new]
-        lsb_k, cb_k = kahan_add(lsb1, cb1, jnp.log(safe))
-        lsb_new = jnp.where(is_end, 0.0, lsb_k)
-        cb_new = jnp.where(is_end, 0.0, cb_k)
 
         # ---- EM expectations ----
         f_hat = [f_buf[kl * 5 + st] for st in range(NUM_STATES)]
-        lsf = lsf_buf[kl]
-        factor_trans = jnp.exp(
-            jnp.clip(lsf + (lsb1 - cb1) - loglik, -80.0, 80.0)
-        )
+        factor_trans = g_next * sfinv_next  # (1, BT)
         for s in range(NUM_STATES):
             fs = f_hat[s] * factor_trans
             for t2 in range(NUM_STATES):
                 em_buf[s * 5 + t2] = em_buf[s * 5 + t2] + fs * dest[t2]
 
-        g_factor = jnp.exp(
-            jnp.clip(lsf + (lsb_new - cb_new) - loglik, -80.0, 80.0)
-        )
-        gamma = [f_hat[s] * new[s] * g_factor for s in range(NUM_STATES)]
+        g_k = factor_trans * safe * not_end + inv_fin * is_end_f
+        g_k = jnp.minimum(g_k, 3e37)  # keep dead lanes finite
+        gamma = [f_hat[s] * new[s] * g_k for s in range(NUM_STATES)]
 
         oh_xc, oh_yc = _unpack_onehots(bufc[slot * SEG + kl])
         for a in range(4):
@@ -427,9 +460,9 @@ def _realign_kernel(
                 )
 
         # ---- fused reverse MEA ----
-        diag_t = sel_shift(u2 + gm2 - mg, -d2n2, -1, 1, NEG)
-        left_t = sel_shift(u1 + gg * gd1, 1 - d1n, 0, 1, NEG)
-        up_t = sel_shift(u1 + gg * gi1, -d1n, -1, 0, NEG)
+        diag_t = lane_shift(u2 + gm2 - mg, -d2n2, -1, 1, NEG)
+        left_t = lane_shift(u1 + gg * gd1, 1 - d1n, 0, 1, NEG)
+        up_t = lane_shift(u1 + gg * gi1, -d1n, -1, 0, NEG)
         best = jnp.maximum(jnp.maximum(diag_t, left_t), up_t)
         # choice stays f32 until the store: int8 selects force an i1
         # relayout from (8,128) to (32,128) tiling that Mosaic rejects
@@ -447,7 +480,7 @@ def _realign_kernel(
         g_d = gamma[1] + gamma[3]
         g_i = gamma[2] + gamma[4]
         new_carry = (
-            new, b1, lsb_new, lsb1, cb_new, cb1,
+            new, b1, inv, g_k,
             new_u, u1, g_m, gm1, g_d, g_i,
         )
         return new_carry, choice
@@ -482,20 +515,21 @@ def _realign_kernel(
         dummy_acc = zb
         for pp in range(pairs_per_seg):
             t = slot * SEG + 2 * pp
-            new_b, ls_b, _, _ = fwd_diag_step(
+            new_b, ls_b, _, _, _ = fwd_diag_step(
                 k0 + 2 * pp + 1, bufc[t], a, b, rs, ls_a, dummy_acc,
-                rescale=False,
+                ones_b, rescale=False,
             )
-            new_a, ls_a, rs, _ = fwd_diag_step(
+            new_a, ls_a, rs, _, _ = fwd_diag_step(
                 k0 + 2 * pp + 2, bufc[t + 1], new_b, a, ones_b, ls_b,
-                dummy_acc, rescale=True,
+                dummy_acc, ones_b, rescale=True,
             )
             for st in range(NUM_STATES):
                 f_buf[(2 * pp) * 5 + st] = new_b[st]
                 f_buf[(2 * pp + 1) * 5 + st] = new_a[st]
-            # store the compensated VALUE; factors need only ~eps|ls|
-            lsf_buf[2 * pp] = ls_b[0] - ls_b[1]
-            lsf_buf[2 * pp + 1] = ls_a[0] - ls_a[1]
+            # per-diagonal forward rescale inverses (linear), for the
+            # backward g-factor product
+            sfinv_buf[2 * pp] = ones_b  # odd diagonals never rescale
+            sfinv_buf[2 * pp + 1] = rs
             b = new_b
             a = new_a
 
@@ -503,12 +537,15 @@ def _realign_kernel(
         carry = (
             [bwd1[st] for st in range(NUM_STATES)],
             [bwd2[st] for st in range(NUM_STATES)],
-            scal[3], scal[4], scal[6], scal[7],
+            scal[4], scal[6],
             mea_buf[0], mea_buf[1], mea_buf[2], mea_buf[3],
             mea_buf[4], mea_buf[5],
         )
         for kl in range(SEG - 1, -1, -1):
-            carry, choice = bwd_diag_step(k0 + kl + 1, kl, slot, carry)
+            sfinv_next = scal[7] if kl == SEG - 1 else sfinv_buf[kl + 1]
+            carry, choice = bwd_diag_step(
+                k0 + kl + 1, kl, slot, sfinv_next, carry
+            )
             # dirs_buf[slot*SEG + kl] = choice with a TRACED slot is the
             # kernel's only traced-index scratch WRITE; keep stores
             # static-indexed under a predicate instead (traced int8
@@ -524,12 +561,13 @@ def _realign_kernel(
         for st in range(NUM_STATES):
             bwd1[st] = carry[0][st]
             bwd2[st] = carry[1][st]
-        scal[3] = carry[2]
-        scal[4] = carry[3]
-        scal[6] = carry[4]
-        scal[7] = carry[5]
+        scal[4] = carry[2]
+        scal[6] = carry[3]
+        # forward rescale inverse of this segment's FIRST diagonal: the
+        # next (descending) segment's top backward step needs it
+        scal[7] = sfinv_buf[0]
         for i in range(6):
-            mea_buf[i] = carry[6 + i]
+            mea_buf[i] = carry[4 + i]
 
         pltpu.make_async_copy(
             dirs_buf.at[pl.ds(slot * SEG, SEG)],
@@ -549,26 +587,24 @@ def _realign_kernel(
         ).wait()
 
     # ---- final step: diagonal 0 (forward state = start tile) ----
-    f_start = [start_tile * 0.0 for _ in range(NUM_STATES)]
     for st in range(NUM_STATES):
         f_buf[st] = start_tile
-    lsf_buf[0] = zb
     # reuse bwd_diag_step with kl=0, slot via dedicated buffers: copy the
     # diag-0 code tiles into bufc/bufn slot 0 row 0
-    del f_start
     bufn[0] = xy0_ref[0]
     # cur codes at diag 0 are all-sentinel (j-1, i-1 < 0 everywhere)
     bufc[0] = jnp.full((W, BT), (5 << 3) | 5, jnp.int8)
     carry = (
         [bwd1[st] for st in range(NUM_STATES)],
         [bwd2[st] for st in range(NUM_STATES)],
-        scal[3], scal[4], scal[6], scal[7],
+        scal[4], scal[6],
         mea_buf[0], mea_buf[1], mea_buf[2], mea_buf[3],
         mea_buf[4], mea_buf[5],
     )
-    carry, choice0 = bwd_diag_step(jnp.int32(0), 0, 0, carry)
+    # scal[7] now holds sfinv of diagonal 1 (segment 0's first)
+    carry, choice0 = bwd_diag_step(jnp.int32(0), 0, 0, scal[7], carry)
     dirs_buf[0] = choice0
-    u0 = carry[6]
+    u0 = carry[4]
     score_ref[:, :] = u0[0:1, :]
     cp0 = pltpu.make_async_copy(
         dirs_buf.at[pl.ds(0, 1)],
@@ -635,6 +671,28 @@ def prepare_pallas_realign(batch: BandedBatch, params: KernelParams) -> dict:
         (i < 0) | (i >= m[:, None, None]),
     )
 
+    # PER-READ band geometry in the top bits (kernel header): the
+    # Lipschitz-1 offset deltas d1[k] = o[k] - o[k-1] in {0, 1};
+    # cur tile k: bit6 = d1[k], bit7 = d1[k-1];
+    # next tile k: bit6 = d1[k+1], bit7 = d1[k+2] (0 past K).
+    d1r = np.zeros((B, K1), np.uint8)
+    d1r[:, 1:] = (offsets[:, 1:] - offsets[:, :-1]).astype(np.uint8)
+    b7c = np.zeros_like(d1r)
+    b7c[:, 1:] = d1r[:, :-1]
+    b6n = np.zeros_like(d1r)
+    b6n[:, :-1] = d1r[:, 1:]
+    b7n = np.zeros_like(d1r)
+    b7n[:, :-2] = d1r[:, 2:]
+
+    def add_bits(pk, b6, b7):
+        out = pk.view(np.uint8) | (b6[:, :, None] << 6) | (
+            b7[:, :, None].astype(np.uint8) << 7
+        )
+        return out.view(np.int8)
+
+    pk_cur = add_bits(pk_cur, d1r, b7c)
+    pk_next = add_bits(pk_next, b6n, b7n)
+
     B_pad = -(-B // BT) * BT
     NB = B_pad // BT
     sent = (5 << 3) | 5
@@ -661,17 +719,6 @@ def prepare_pallas_realign(batch: BandedBatch, params: KernelParams) -> dict:
         ).reshape(W, NB, BT).transpose(1, 0, 2)
     )
 
-    o = offsets[0]
-    d1 = np.zeros(k_pad, np.int32)
-    d2 = np.zeros(k_pad, np.int32)
-    d1[:K] = o[1:] - o[:-1]
-    o_km2 = np.concatenate([[0], o[:-2]])
-    d2[:K] = o[1:] - o_km2 - 1
-    d1n = np.zeros(k_pad + 1, np.int32)
-    d1n[:K] = o[1:] - o[:-1]
-    d2n2 = np.zeros(k_pad + 1, np.int32)
-    d2n2[: K - 1] = o[2:] - o[:-2] - 1
-
     emf = np.zeros(36, np.float32)
     emf[:30] = np.pad(
         np.asarray(params.e_match_flat).reshape(5, 5), ((0, 0), (0, 1))
@@ -683,15 +730,10 @@ def prepare_pallas_realign(batch: BandedBatch, params: KernelParams) -> dict:
     kend = np.full(B_pad, -1, np.int32)
     kend[:B] = (m + n).astype(np.int32)
 
-    same = bool((offsets == offsets[0]).all())
     return {
         "xyc": xyc,
         "xyn": xyn,
         "xy0": xy0,
-        "d1": d1,
-        "d2": d2,
-        "d1n": d1n,
-        "d2n2": d2n2,
         "tf": np.asarray(params.t).reshape(-1).astype(np.float32),
         "emf": emf,
         "egf": egf,
@@ -701,7 +743,6 @@ def prepare_pallas_realign(batch: BandedBatch, params: KernelParams) -> dict:
         "K": K,
         "NB": NB,
         "W": W,
-        "uniform_bands": same,
     }
 
 
@@ -710,13 +751,13 @@ def prepare_pallas_realign(batch: BandedBatch, params: KernelParams) -> dict:
     static_argnames=("k_pad", "NB", "W", "interpret"),
 )
 def _pallas_realign_call(
-    d1, d2, d1n, d2n2, tf, emf, egf, ggmg, kend, xy0, xyc, xyn,
+    tf, emf, egf, ggmg, kend, xy0, xyc, xyn,
     k_pad, NB, W, interpret=False,
 ):
     S = k_pad // SEG
     kernel = functools.partial(_realign_kernel, k_pad=k_pad, W=W)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
+        num_scalar_prefetch=4,
         grid=(NB,),
         in_specs=[
             pl.BlockSpec(
@@ -766,7 +807,7 @@ def _pallas_realign_call(
             pltpu.VMEM((2, 10, W, BT), jnp.float32),  # bndbuf
             pltpu.VMEM((2, 8, 1, BT), jnp.float32),  # bscalbuf
             pltpu.VMEM((SEG * 5, W, BT), jnp.float32),  # f_buf
-            pltpu.VMEM((SEG, 1, BT), jnp.float32),  # lsf_buf
+            pltpu.VMEM((SEG, 1, BT), jnp.float32),  # sfinv_buf
             pltpu.VMEM((5, W, BT), jnp.float32),  # sA
             pltpu.VMEM((5, W, BT), jnp.float32),  # sB
             pltpu.VMEM((5, W, BT), jnp.float32),  # bwd1
@@ -797,7 +838,7 @@ def _pallas_realign_call(
         out_shape=out_shapes,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(d1, d2, d1n, d2n2, tf, emf, egf, ggmg, kend, xy0, xyc, xyn)
+    )(tf, emf, egf, ggmg, kend, xy0, xyc, xyn)
     loglik, score, trans, e16, edel, eins, dirs, _, _ = outs
 
     def lanes(x):  # (NB, R, BT) -> (NB*BT, R)
@@ -845,14 +886,8 @@ class PallasRealignPlan:
         match_gamma: float = 0.0,
     ):
         prep = prepare_pallas_realign(batch, params)
-        if not prep["uniform_bands"]:
-            raise ValueError(
-                "pallas realign requires identical band offsets across "
-                "the batch; use ops.mea.realign_fused"
-            )
         self.arrays = tuple(
-            jnp.asarray(prep[k])
-            for k in ("d1", "d2", "d1n", "d2n2", "tf", "emf", "egf")
+            jnp.asarray(prep[k]) for k in ("tf", "emf", "egf")
         ) + (
             jnp.asarray(np.array([gap_gamma, match_gamma], np.float32)),
             jnp.asarray(prep["kend"]),
@@ -889,8 +924,9 @@ def pallas_realign_fused(
 ) -> dict:
     """Fused realign via the Pallas kernel: loglik/trans/emis/score/dirs.
 
-    Drop-in equivalent of ops.mea.realign_fused for batches with uniform
-    band geometry (raises otherwise); dirs point forward (use
+    Drop-in equivalent of ops.mea.realign_fused — per-read band
+    geometry is carried in the streamed code top bits, so mixed-band
+    production batches are supported; dirs point forward (use
     ops.mea.mea_traceback_fwd).  Prefer PallasRealignPlan when calling
     repeatedly on one batch.
     """

@@ -61,9 +61,13 @@ def _viterbi_scan_single(params: KernelParams, batch_elem):
 
         oh_x = _onehot5(x_cur, W)
         oh_y = _onehot5(y_cur, W)
-        le_m = jnp.log(jnp.maximum(((e_match @ oh_y) * oh_x).sum(axis=0), 1e-37))
-        lgx = jnp.log(jnp.maximum(e_gap @ oh_x, 1e-37))
-        lgy = jnp.log(jnp.maximum(e_gap @ oh_y, 1e-37))
+        le_m = jnp.log(jnp.maximum(
+            (jnp.matmul(e_match, oh_y, precision="highest")
+             * oh_x).sum(axis=0), 1e-37))
+        lgx = jnp.log(jnp.maximum(
+            jnp.matmul(e_gap, oh_x, precision="highest"), 1e-37))
+        lgy = jnp.log(jnp.maximum(
+            jnp.matmul(e_gap, oh_y, precision="highest"), 1e-37))
 
         diag_pred = _shift_sel(prevprev, d2, -1, 1, fill=NEG)
         left_pred = _shift_sel(prev, d1 - 1, -1, 0, fill=NEG)

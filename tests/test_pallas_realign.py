@@ -111,6 +111,56 @@ class TestPallasRealign:
             assert sum(l for op, l in cig if op in (CIG.M, CIG.I)) == m
             assert sum(l for op, l in cig if op in (CIG.M, CIG.D)) == n
 
+    def test_mixed_band_geometry(self, params):
+        """PER-READ band geometry: every read has its own guide path,
+        length and band offsets (the production case — round-1 kernels
+        required uniform bands).  Deltas ride bits 6/7 of the packed
+        codes; shifts are per-lane blends."""
+        rng = np.random.default_rng(17)
+        pairs = []
+        # read 0: plain match guide, full length
+        x0 = rng.integers(0, 4, 18).astype(np.int8)
+        pairs.append((x0, x0.copy(), [(CIG.M, 18)]))
+        # read 1: shorter, guide with a deletion run (shifted band)
+        x1 = rng.integers(0, 4, 16).astype(np.int8)
+        y1 = x1[:10].copy()
+        pairs.append((x1, y1, [(CIG.M, 5), (CIG.D, 6), (CIG.M, 5)]))
+        # read 2: insertion guide (band hugs the other side)
+        x2 = rng.integers(0, 4, 10).astype(np.int8)
+        y2 = np.concatenate([x2[:5], rng.integers(0, 4, 6).astype(np.int8),
+                             x2[5:]])
+        pairs.append((x2, y2, [(CIG.M, 5), (CIG.I, 6), (CIG.M, 5)]))
+        batch = prepare_banded_batch(pairs, band_width=8)
+        offsets = np.asarray(batch.offsets)
+        assert not (offsets == offsets[0]).all(), "bands must differ"
+
+        want = realign_fused(batch, params, segment_size=8)
+        got = pallas_realign_fused(batch, params, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got["loglik"]), np.asarray(want["loglik"]), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["score"]), np.asarray(want["score"]),
+            rtol=1e-4, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["trans"]), np.asarray(want["trans"]),
+            rtol=2e-3, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["emis"]), np.asarray(want["emis"]),
+            rtol=2e-3, atol=1e-5,
+        )
+        for b, (x, y, _) in enumerate(pairs):
+            m, n = len(y), len(x)
+            want_cig = mea_traceback_fwd(
+                np.asarray(want["dirs"])[b], offsets[b], m, n
+            )
+            got_cig = mea_traceback_fwd(
+                np.asarray(got["dirs"])[b], offsets[b], m, n
+            )
+            assert cigar_to_string(got_cig) == cigar_to_string(want_cig)
+
     @pytest.mark.skipif(
         not __import__("os").environ.get("NANOPORE_TPU_SLOW_TESTS"),
         reason="interpret-mode eval is ~3 min; set NANOPORE_TPU_SLOW_TESTS=1",
