@@ -182,7 +182,16 @@ def em_train(
     if opts.use_mesh:
         return _em_train_sharded(kept, opts)
 
-    # batches are shape-stable across iterations: prepare once
+    # batches are shape-stable across iterations: prepare once; on TPU
+    # a PreparedEm plan keeps the packed codes device-resident and
+    # swaps only the model scalars each iteration (Pallas kernel);
+    # elsewhere the module-level em_expectations runs per batch
+    from nanopore_tpu.ops.dispatch import (
+        PreparedEm,
+        kernel_choice,
+        pallas_eligible,
+    )
+
     batches: list[BandedBatch] = []
     for s in range(0, len(kept), opts.batch_size):
         batches.append(
@@ -190,6 +199,13 @@ def em_train(
                 kept[s : s + opts.batch_size], band_width=opts.band_width
             )
         )
+
+    preps = [
+        PreparedEm(b, segment_size=opts.remat_segment)
+        if kernel_choice() == "pallas" and pallas_eligible(b)
+        else None
+        for b in batches
+    ]
 
     trial_models: list[PairHmmModel] = []
     running: list[list[float]] = []
@@ -273,9 +289,13 @@ def em_train(
             trans = np.zeros((5, 5))
             emis = np.zeros((5, 16))
             loglik = 0.0
-            for batch in batches:
-                out = em_expectations(
-                    batch, params, segment_size=opts.remat_segment
+            for batch, prep in zip(batches, preps):
+                out = (
+                    prep.run(params)
+                    if prep is not None
+                    else em_expectations(
+                        batch, params, segment_size=opts.remat_segment
+                    )
                 )
                 trans += np.asarray(out["trans"], np.float64).sum(axis=0)
                 emis += np.asarray(out["emis"], np.float64).sum(axis=0)

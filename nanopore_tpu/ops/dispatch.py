@@ -109,6 +109,50 @@ class PreparedRealign:
         return realign_fused(self.batch, self._params, self._gg, self._mg)
 
 
+class PreparedEm:
+    """An EM E-step batch prepared for the chosen kernel.
+
+    The Baum-Welch expectations (trans/emis/loglik — reference
+    cactus_expectationMaximisation's E-step) fall out of the fused
+    Pallas realign kernel as by-products, and the model parameters are
+    RUNTIME scalars there, so one compiled kernel + one device-resident
+    code pack serve every EM iteration and trial: run(params) swaps the
+    scalar tables and re-launches.  Off-TPU it defers to the XLA
+    rematerialised em_expectations.
+    """
+
+    def __init__(self, batch: BandedBatch, segment_size: int = 512):
+        self.batch = batch
+        self._segment = segment_size
+        self._plan = None
+        self._use_pallas = (
+            kernel_choice() == "pallas" and pallas_eligible(batch)
+        )
+
+    def run(self, params: KernelParams) -> dict:
+        """E-step expectations: {trans (B,5,5), emis (B,5,16), loglik (B,)}."""
+        if self._use_pallas:
+            from nanopore_tpu.ops.pairhmm_pallas_realign import (
+                PallasRealignPlan,
+            )
+
+            if self._plan is None:
+                self._plan = PallasRealignPlan(self.batch, params)
+            else:
+                self._plan.update_params(params)
+            out = self._plan.run()
+            return {
+                "trans": out["trans"],
+                "emis": out["emis"],
+                "loglik": out["loglik"],
+            }
+        from nanopore_tpu.ops.pairhmm import em_expectations
+
+        return em_expectations(
+            self.batch, params, segment_size=self._segment
+        )
+
+
 def preferred_realign_batch_size(requested: int | None = None) -> int:
     """Batch size to feed the fused realign.
 

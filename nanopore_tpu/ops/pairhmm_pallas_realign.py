@@ -634,6 +634,21 @@ def _realign_kernel(
     )
 
 
+def _param_scalars(params: KernelParams):
+    """SMEM scalar tables for the kernel: flat transitions + padded
+    emission tables (runtime inputs, not compile-time constants — one
+    compiled kernel serves every EM iteration/trial model)."""
+    emf = np.zeros(36, np.float32)
+    emf[:30] = np.pad(
+        np.asarray(params.e_match_flat).reshape(5, 5), ((0, 0), (0, 1))
+    ).reshape(-1)
+    egf = np.pad(
+        np.asarray(params.e_gap_flat).reshape(5, 5), ((0, 0), (0, 1))
+    ).reshape(-1).astype(np.float32)
+    tf = np.asarray(params.t).reshape(-1).astype(np.float32)
+    return tf, emf, egf
+
+
 def prepare_pallas_realign(batch: BandedBatch, params: KernelParams) -> dict:
     """Host-side repack of a BandedBatch for the fused realign kernel."""
     xc = np.asarray(batch.xc)
@@ -719,13 +734,7 @@ def prepare_pallas_realign(batch: BandedBatch, params: KernelParams) -> dict:
         ).reshape(W, NB, BT).transpose(1, 0, 2)
     )
 
-    emf = np.zeros(36, np.float32)
-    emf[:30] = np.pad(
-        np.asarray(params.e_match_flat).reshape(5, 5), ((0, 0), (0, 1))
-    ).reshape(-1)
-    egf = np.pad(
-        np.asarray(params.e_gap_flat).reshape(5, 5), ((0, 0), (0, 1))
-    ).reshape(-1).astype(np.float32)
+    tf, emf, egf = _param_scalars(params)
 
     kend = np.full(B_pad, -1, np.int32)
     kend[:B] = (m + n).astype(np.int32)
@@ -734,7 +743,7 @@ def prepare_pallas_realign(batch: BandedBatch, params: KernelParams) -> dict:
         "xyc": xyc,
         "xyn": xyn,
         "xy0": xy0,
-        "tf": np.asarray(params.t).reshape(-1).astype(np.float32),
+        "tf": tf,
         "emf": emf,
         "egf": egf,
         "kend": kend.reshape(NB, 1, BT),
@@ -900,6 +909,15 @@ class PallasRealignPlan:
         self.K = prep["K"]
         self.NB = prep["NB"]
         self.W = prep["W"]
+
+    def update_params(self, params: KernelParams) -> None:
+        """Swap the model scalars (EM M-step) without re-packing or
+        re-uploading the code tensors — the expensive host side of the
+        plan is params-independent."""
+        tf, emf, egf = _param_scalars(params)
+        self.arrays = (
+            jnp.asarray(tf), jnp.asarray(emf), jnp.asarray(egf),
+        ) + self.arrays[3:]
 
     def run(self, interpret: bool = False) -> dict:
         out = _pallas_realign_call(

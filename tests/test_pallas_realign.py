@@ -161,6 +161,31 @@ class TestPallasRealign:
             )
             assert cigar_to_string(got_cig) == cigar_to_string(want_cig)
 
+    def test_update_params_matches_fresh_plan(self, params):
+        """EM reuse contract (ops.dispatch.PreparedEm): swapping the
+        model scalars on an existing plan == building a fresh plan with
+        the new model, without re-packing the code tensors."""
+        from nanopore_tpu.ops.pairhmm_pallas_realign import (
+            PallasRealignPlan,
+        )
+
+        rng = np.random.default_rng(23)
+        pairs = uniform_pairs(rng, 2, 12)
+        batch = prepare_banded_batch(pairs, band_width=8)
+        params2 = make_kernel_params(
+            PairHmmModel.random(np.random.default_rng(5))
+        )
+
+        plan = PallasRealignPlan(batch, params)
+        plan.update_params(params2)
+        got = plan.run(interpret=True)
+        want = PallasRealignPlan(batch, params2).run(interpret=True)
+        for key in ("loglik", "score", "trans", "emis"):
+            np.testing.assert_allclose(
+                np.asarray(got[key]), np.asarray(want[key]), rtol=1e-6
+            )
+        assert (np.asarray(got["dirs"]) == np.asarray(want["dirs"])).all()
+
     @pytest.mark.skipif(
         not __import__("os").environ.get("NANOPORE_TPU_SLOW_TESTS"),
         reason="interpret-mode eval is ~3 min; set NANOPORE_TPU_SLOW_TESTS=1",
