@@ -190,13 +190,16 @@ def em_train(
         PreparedEm,
         kernel_choice,
         pallas_eligible,
+        prefer_host_batch,
     )
 
     batches: list[BandedBatch] = []
     for s in range(0, len(kept), opts.batch_size):
         batches.append(
             prepare_banded_batch(
-                kept[s : s + opts.batch_size], band_width=opts.band_width
+                kept[s : s + opts.batch_size],
+                band_width=opts.band_width,
+                device=not prefer_host_batch(opts.band_width),
             )
         )
 

@@ -35,6 +35,7 @@ from nanopore_tpu.ops.mea import (
 )
 from nanopore_tpu.ops.dispatch import (
     PreparedRealign,
+    prefer_host_batch,
     preferred_realign_batch_size,
 )
 
@@ -96,6 +97,7 @@ def realign_records(
                     k_max=n_pad + m_pad,
                     n_pad_to=n_pad,
                     m_pad_to=m_pad,
+                    device=rescore or not prefer_host_batch(band_width),
                 )
                 if rescore:
                     yield sub, batch

@@ -30,6 +30,7 @@ from nanopore_tpu.ops.pairhmm import (
 from nanopore_tpu.ops.mea import mea_traceback_fwd
 from nanopore_tpu.ops.dispatch import (
     PreparedRealign,
+    prefer_host_batch,
     preferred_realign_batch_size,
 )
 
@@ -289,6 +290,10 @@ class MappingEngine:
             k_max=n_pad + m_pad,
             n_pad_to=n_pad,
             m_pad_to=m_pad,
+            # Pallas-bound batches stay host-side; the repack uploads
+            # one packed tensor instead (ops.dispatch)
+            device=cfg.decode == "viterbi"
+            or not prefer_host_batch(cfg.band_width),
         )
         if cfg.decode == "viterbi":
             return sub, batch

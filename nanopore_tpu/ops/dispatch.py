@@ -43,6 +43,15 @@ def kernel_choice() -> str:
     return "pallas" if platform in _PALLAS_PLATFORMS else "xla"
 
 
+def prefer_host_batch(band_width: int = 64) -> bool:
+    """True when new banded batches will feed the Pallas repack: build
+    them with prepare_banded_batch(device=False) so the band tensors
+    stay host-side (the repack re-lays them out and uploads ONE packed
+    tensor; uploading first just to pull them back is pure waste on
+    remote-device runtimes)."""
+    return kernel_choice() == "pallas" and band_width == 64
+
+
 def pallas_eligible(batch: BandedBatch) -> bool:
     """Geometry the fused Pallas kernel serves.  Per-read band offsets
     ride the streamed code top bits, so mixed-band batches need no
@@ -125,6 +134,7 @@ class PreparedEm:
         self.batch = batch
         self._segment = segment_size
         self._plan = None
+        self._dev_batch = None
         self._use_pallas = (
             kernel_choice() == "pallas" and pallas_eligible(batch)
         )
@@ -148,8 +158,20 @@ class PreparedEm:
             }
         from nanopore_tpu.ops.pairhmm import em_expectations
 
+        if self._dev_batch is None:
+            # host-built batches (prefer_host_batch) upload once here,
+            # then every EM iteration reuses the device arrays
+            import jax.numpy as jnp
+
+            self._dev_batch = self.batch._replace(
+                **{
+                    f: jnp.asarray(getattr(self.batch, f))
+                    for f in ("xc", "yc", "xn", "yn", "offsets",
+                              "m", "n", "k_end")
+                }
+            )
         return em_expectations(
-            self.batch, params, segment_size=self._segment
+            self._dev_batch, params, segment_size=self._segment
         )
 
 

@@ -200,12 +200,18 @@ def prepare_banded_batch(
     k_max: int | None = None,
     n_pad_to: int | None = None,
     m_pad_to: int | None = None,
+    device: bool = True,
 ) -> BandedBatch:
     """Pack (ref_codes, read_codes, guide_cigar) tuples into a BandedBatch.
 
     ``k_max`` lets callers bucket the diagonal count (e.g. to powers of
     two) so jit caches stay small; ``n_pad_to``/``m_pad_to`` are accepted
     for API stability but only influence the default k_max.
+
+    ``device=False`` keeps the arrays host-resident (numpy) — pass it
+    when the batch feeds the Pallas repack (ops.dispatch picks it), so
+    the band tensors are not uploaded only to be pulled back for
+    packing; the XLA scan paths want the default upload-once arrays.
     """
     W = band_width
     ms = np.array([len(y) for _, y, _ in pairs], np.int32)
@@ -235,15 +241,16 @@ def prepare_banded_batch(
         yc[b] = gather(y, i - 1)
         xn[b] = gather(x, j)
         yn[b] = gather(y, i)
+    put = jnp.asarray if device else (lambda a: a)
     return BandedBatch(
-        xc=jnp.asarray(xc),
-        yc=jnp.asarray(yc),
-        xn=jnp.asarray(xn),
-        yn=jnp.asarray(yn),
-        offsets=jnp.asarray(offsets),
-        m=jnp.asarray(ms),
-        n=jnp.asarray(ns),
-        k_end=jnp.asarray(ms + ns),
+        xc=put(xc),
+        yc=put(yc),
+        xn=put(xn),
+        yn=put(yn),
+        offsets=put(offsets),
+        m=put(ms),
+        n=put(ns),
+        k_end=put(ms + ns),
         band_width=W,
     )
 

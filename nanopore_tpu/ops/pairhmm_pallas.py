@@ -176,22 +176,21 @@ def _kernel(
             gy2 = gy2 + egf_ref[2 * 6 + cc] * oh_y[cc]
             gy4 = gy4 + egf_ref[4 * 6 + cc] * oh_y[cc]
 
-        diag = [sel_shift(pp, d2, -1, 1) * r for pp in prevprev]
-        left = [sel_shift(pv, d1 - 1, -1, 0) for pv in prev]
-        up = [sel_shift(pv, d1, 0, 1) for pv in prev]
-
         def trans_sum(preds, dest):
             acc_t = tf_ref[0 * 5 + dest] * preds[0]
             for s in range(1, NUM_STATES):
                 acc_t = acc_t + tf_ref[s * 5 + dest] * preds[s]
             return acc_t
 
+        # transitions summed BEFORE the band shifts (5 shifted tiles
+        # instead of 15 — shifts are linear selections, so they commute
+        # with the source-state contraction; scripts_dev ladder6: -26%)
         new = [
-            e_m * trans_sum(diag, 0),
-            gx1 * trans_sum(left, 1),
-            gy2 * trans_sum(up, 2),
-            gx3 * trans_sum(left, 3),
-            gy4 * trans_sum(up, 4),
+            e_m * (sel_shift(trans_sum(prevprev, 0), d2, -1, 1) * r),
+            gx1 * sel_shift(trans_sum(prev, 1), d1 - 1, -1, 0),
+            gy2 * sel_shift(trans_sum(prev, 2), d1, 0, 1),
+            gx3 * sel_shift(trans_sum(prev, 3), d1 - 1, -1, 0),
+            gy4 * sel_shift(trans_sum(prev, 4), d1, 0, 1),
         ]
 
         if rescale:

@@ -59,8 +59,8 @@ from nanopore_tpu.ops.pairhmm_pallas import (
 
 NUM_STATES = 5
 BT = 128  # batch-tile width (lanes)
-CHUNK = 128  # phase-A diagonals per DMA chunk (multiple of SEG, even)
-SEG = 32  # remat segment length in diagonals (even)
+CHUNK = 128  # phase-A diagonals per DMA chunk (multiple of 2*SEG)
+SEG = 16  # remat segment length in diagonals (even)
 NEG = -1e30
 DIR_NONE = 3
 
@@ -73,16 +73,17 @@ def _realign_kernel(
     gg_ref,  # (2,) f32: [gapGamma, matchGamma]
     # tensor inputs
     kend_ref,  # (1, BT) int32 VMEM block
-    xy0_ref,  # (1, W, BT) int8 VMEM block: packed NEXT codes at diag 0
     # Packed code tiles additionally carry the PER-READ band geometry
     # (generalising --diagonalExpansion banding to per-read guide bands,
     # reference utils.py:587): bits 0-2 y code, 3-5 x code, and the
     # read's Lipschitz-1 band offset deltas in the top bits —
     #   xyc bit 6 = d1[k]   (o[k] - o[k-1]),  bit 7 = d1[k-1]
-    #   xyn bit 6 = d1[k+1] (o[k+1] - o[k]),  bit 7 = d1[k+2]
     # so every shift amount the recurrences need is derivable per lane.
+    # The "next codes" stream of round 1 (xyn) is GONE: the backward
+    # consumes the emissions the remat pass already computed one/two
+    # diagonals up (in those diagonals' own band coordinates — products
+    # e*b shift as one tile), halving HBM streaming and host pack work.
     xyc_hbm,  # (NB, K_pad, W, BT) int8: packed cur codes (x[j-1],y[i-1])
-    xyn_hbm,  # (NB, K_pad, W, BT) int8: packed next codes (x[j],y[i])
     # outputs
     loglik_ref,  # (1, BT) f32 VMEM
     score_ref,  # (1, BT) f32 VMEM
@@ -99,11 +100,15 @@ def _realign_kernel(
     # scratch
     bufA,  # (2*CHUNK, W, BT) int8 phase-A code chunks
     bufc,  # (2*SEG, W, BT) int8 phase-B cur codes
-    bufn,  # (2*SEG, W, BT) int8 phase-B next codes
     bndbuf,  # (2, 10, W, BT) f32 boundary in
     bscalbuf,  # (2, 8, 1, BT) f32 boundary scalars in
     f_buf,  # (SEG*5, W, BT) f32 rematerialised forward states
     sfinv_buf,  # (SEG, 1, BT) f32 their rescale inverses (linear)
+    e_cache,  # (SEG*5, W, BT) f32 remat emissions [j*5 + (em,gx1,gx3,gy2,gy4)]
+    top_e,  # (10, W, BT) f32 next segment's first two diags' emissions
+    top_c,  # (2, W, BT) int8 their cur-code tiles (band-delta bits)
+    stageA,  # (2, 10, W, BT) f32 phase-A boundary dump staging
+    stageS,  # (2, 8, 1, BT) f32 phase-A scalar dump staging
     sA,  # (5, W, BT) f32 forward even-diag state
     sB,  # (5, W, BT) f32 forward odd-diag state
     bwd1,  # (5, W, BT) f32 backward state b[k+1]
@@ -114,9 +119,9 @@ def _realign_kernel(
     #        4 prev bwd rescale inv, 5 lsA Kahan comp, 6 g-factor G,
     #        7 fwd rescale inv of the diag above the current segment
     dirs_buf,  # (2*SEG, W, BT) int8
-    in_sems,  # DMA (4, 2)
+    in_sems,  # DMA (3, 2): bufA/bufc, bndbuf, bscalbuf
     out_sems,  # DMA (2,)
-    bnd_sems,  # DMA (3,)
+    bnd_sems,  # DMA (2, 3): phase-A staged dumps, per stage slot
     *,
     k_pad: int,
     W: int,
@@ -220,16 +225,21 @@ def _realign_kernel(
         e_m = match_emission(oh_x, oh_y)
         gx1, gx3, gy2, gy4 = gap_emissions(oh_x, oh_y)
 
-        diag = [lane_shift(pp, d2, -1, 1) * r for pp in prevprev]
-        left = [lane_shift(pv, d1 - 1, -1, 0) for pv in prev]
-        up = [lane_shift(pv, d1, 0, 1) for pv in prev]
+        # transitions are summed BEFORE the band shifts (5 shifted
+        # tiles instead of 15 — shifts are per-lane linear, so they
+        # commute with the source-state contraction; ladder6: -26%)
+        td = trans_sum(prevprev, 0)
+        tl1 = trans_sum(prev, 1)
+        tu2 = trans_sum(prev, 2)
+        tl3 = trans_sum(prev, 3)
+        tu4 = trans_sum(prev, 4)
 
         new = [
-            e_m * trans_sum(diag, 0),
-            gx1 * trans_sum(left, 1),
-            gy2 * trans_sum(up, 2),
-            gx3 * trans_sum(left, 3),
-            gy4 * trans_sum(up, 4),
+            e_m * (lane_shift(td, d2, -1, 1) * r),
+            gx1 * lane_shift(tl1, d1 - 1, -1, 0),
+            gy2 * lane_shift(tu2, d1, 0, 1),
+            gx3 * lane_shift(tl3, d1 - 1, -1, 0),
+            gy4 * lane_shift(tu4, d1, 0, 1),
         ]
         ls_hi, ls_c = ls_cur
         if rescale:
@@ -255,7 +265,8 @@ def _realign_kernel(
             jnp.log(jnp.maximum(fin, 1e-37)) + (ls_hi - ls_c),
             0.0,
         )
-        return new, (ls_hi, ls_c), safe_inv, acc, fin_reg
+        emis = (e_m, gx1, gx3, gy2, gy4)
+        return new, (ls_hi, ls_c), safe_inv, acc, fin_reg, emis
 
     # ================= Phase A: forward + boundary dumps =================
     start_tile = jnp.where(row == 0, 1.0 / NUM_STATES, 0.0)
@@ -290,36 +301,61 @@ def _realign_kernel(
         def pair_body(ip, _):
             p = c * pairs_per_chunk + ip  # global pair index
 
-            # boundary checkpoint entering segment s_idx = p / (SEG/2)
+            # boundary checkpoint entering segment s_idx = p / (SEG/2):
+            # STAGED — copy the carry to a double-buffered staging slot
+            # and DMA it out asynchronously (the live sA/sB are
+            # overwritten by the next diagonals, the stage is not), so
+            # the dump latency hides behind the next segment's compute.
             @pl.when(lax.rem(p, pairs_per_seg) == 0)
             def _dump():
                 s_idx = lax.div(p, pairs_per_seg)
+                sl = lax.rem(s_idx, 2)
+
+                @pl.when(s_idx >= 2)
+                def _drain():
+                    prev_r = (bt * S + s_idx - 2) * 10
+                    pltpu.make_async_copy(
+                        stageA.at[sl], bnd_hbm.at[pl.ds(prev_r, 10)],
+                        bnd_sems.at[sl, 0],
+                    ).wait()
+                    pltpu.make_async_copy(
+                        stageS.at[sl], bscal_hbm.at[bt * S + s_idx - 2],
+                        bnd_sems.at[sl, 1],
+                    ).wait()
+
+                @pl.when(sl == 0)
+                def _stage0():
+                    for st in range(NUM_STATES):
+                        stageA[0, st] = sA[st]
+                        stageA[0, 5 + st] = sB[st]
+                    stageS[0] = scal[:, :, :]
+
+                @pl.when(sl == 1)
+                def _stage1():
+                    for st in range(NUM_STATES):
+                        stageA[1, st] = sA[st]
+                        stageA[1, 5 + st] = sB[st]
+                    stageS[1] = scal[:, :, :]
+
                 base_r = (bt * S + s_idx) * 10
-                cp1 = pltpu.make_async_copy(
-                    sA, bnd_hbm.at[pl.ds(base_r, 5)], bnd_sems.at[0]
-                )
-                cp2 = pltpu.make_async_copy(
-                    sB, bnd_hbm.at[pl.ds(base_r + 5, 5)], bnd_sems.at[1]
-                )
-                cp3 = pltpu.make_async_copy(
-                    scal, bscal_hbm.at[bt * S + s_idx], bnd_sems.at[2]
-                )
-                cp1.start()
-                cp2.start()
-                cp3.start()
-                cp1.wait()
-                cp2.wait()
-                cp3.wait()
+                pltpu.make_async_copy(
+                    stageA.at[sl], bnd_hbm.at[pl.ds(base_r, 10)],
+                    bnd_sems.at[sl, 0],
+                ).start()
+                pltpu.make_async_copy(
+                    stageS.at[sl], bscal_hbm.at[bt * S + s_idx],
+                    bnd_sems.at[sl, 1],
+                ).start()
 
             t = base + ip * 2
             k0 = p * 2
             a = [sA[st] for st in range(NUM_STATES)]
             b = [sB[st] for st in range(NUM_STATES)]
-            new_b, ls_b, _, acc, fin_reg = fwd_diag_step(
+            new_b, ls_b, _, acc, fin_reg, _ = fwd_diag_step(
                 k0 + 1, bufA[t], a, b, scal[1], (scal[0], scal[5]),
                 scal[2], scal[3], rescale=False,
             )
-            new_a, ls_a2, inv, acc, fin_reg = fwd_diag_step(
+            new_a, ls_a2, inv, acc, fin_reg, _ = fwd_diag_step(
                 k0 + 2, bufA[t + 1], new_b, a, ones_b, ls_b, acc,
                 fin_reg, rescale=True,
             )
@@ -337,6 +373,18 @@ def _realign_kernel(
         return 0
 
     lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+    # drain the last two staged boundary dumps (phase B reads bnd_hbm)
+    for s_idx in range(max(0, S - 2), S):
+        sl = s_idx % 2
+        pltpu.make_async_copy(
+            stageA.at[sl], bnd_hbm.at[pl.ds((bt * S + s_idx) * 10, 10)],
+            bnd_sems.at[sl, 0],
+        ).wait()
+        pltpu.make_async_copy(
+            stageS.at[sl], bscal_hbm.at[bt * S + s_idx],
+            bnd_sems.at[sl, 1],
+        ).wait()
     loglik = scal[2]
     loglik_ref[:, :] = loglik
 
@@ -355,6 +403,13 @@ def _realign_kernel(
     scal[6] = zb  # g-factor G (0 until a lane hits its k_end)
     scal[7] = ones_b  # forward rescale inverse of the diagonal above
     inv_fin = 1.0 / scal[3]
+    # beyond-lattice top: zero emissions, zero band-delta bits (matches
+    # the sentinel contract — all out-of-lattice mass stays zero)
+    for e in range(10):
+        top_e[e] = zeros
+    zero_codes = jnp.zeros((W, BT), jnp.int8)
+    top_c[0] = zero_codes
+    top_c[1] = zero_codes
 
     def seg_dmas(s, slot):
         k0 = s * SEG
@@ -365,46 +420,46 @@ def _realign_kernel(
                 in_sems.at[0, slot],
             ),
             pltpu.make_async_copy(
-                xyn_hbm.at[bt, pl.ds(k0, SEG)],
-                bufn.at[pl.ds(slot * SEG, SEG)],
+                bnd_hbm.at[pl.ds((bt * S + s) * 10, 10)], bndbuf.at[slot],
                 in_sems.at[1, slot],
             ),
             pltpu.make_async_copy(
-                bnd_hbm.at[pl.ds((bt * S + s) * 10, 10)], bndbuf.at[slot],
-                in_sems.at[2, slot],
-            ),
-            pltpu.make_async_copy(
                 bscal_hbm.at[bt * S + s], bscalbuf.at[slot],
-                in_sems.at[3, slot],
+                in_sems.at[2, slot],
             ),
         )
 
     for d in seg_dmas(S - 1, (S - 1) % 2):
         d.start()
 
-    def bwd_diag_step(k, kl, slot, sfinv_next, carry):
-        """One backward + EM + MEA diagonal (k traced, kl static).
+    def bwd_diag_step(k, cur_tile, e_gap1, e_m2, d1n, d1n2, f_hat,
+                      sfinv_next, carry):
+        """One backward + EM + MEA diagonal.
 
-        ``sfinv_next`` is the forward rescale INVERSE of diagonal k+1;
-        the EM factor runs as the linear g-factor product
+        ``e_gap1`` = (gx1, gx3, gy2, gy4) remat-cached emissions of
+        diagonal k+1 and ``e_m2`` the cached match emission of diagonal
+        k+2, each in its OWN diagonal's band coordinates — the products
+        e*b live in the source diagonal's coordinates and shift as one
+        tile (bitwise the same values as shifting b then multiplying by
+        next-coordinate emissions, since the per-lane masks select
+        exactly one variant).  ``d1n``/``d1n2`` are the band deltas
+        o[k+1]-o[k] / o[k+2]-o[k+1] (bit 6 of the k+1 / k+2 cur-code
+        tiles).  ``sfinv_next`` is the forward rescale INVERSE of
+        diagonal k+1; the EM factor runs as the linear g-factor product
         ft_k = G_{k+1} * sfinv_{k+1}, G_k = ft_k * safe_b_k (seeded
         1/fin at k_end) — no log/exp in the loop, so TPU transcendental
         bias cannot accumulate (see ops/pairhmm._make_bwd_step).
         """
         (b1, b2, binv_prev, g_next, u1, u2, gm1, gm2, gd1, gi1) = carry
-        xyn32 = bufn[slot * SEG + kl].astype(jnp.int32)
-        d1n, d1n2 = band_bits(xyn32)  # o[k+1]-o[k], o[k+2]-o[k+1]
+        gx1n, gx3n, gy2n, gy4n = e_gap1
         d2n2 = d1n + d1n2 - 1
-        oh_xn, oh_yn = _unpack_onehots32(xyn32)
-        e_m_next = match_emission(oh_xn, oh_yn)
-        gx1n, gx3n, gy2n, gy4n = gap_emissions(oh_xn, oh_yn)
 
         # b2 is scaled by safe_b_{k+1} relative to b1: undo it
-        bM = lane_shift(b2[0], -d2n2, -1, 1) * binv_prev * e_m_next
-        bD1 = lane_shift(b1[1], 1 - d1n, 0, 1) * gx1n
-        bD2 = lane_shift(b1[3], 1 - d1n, 0, 1) * gx3n
-        bI1 = lane_shift(b1[2], -d1n, -1, 0) * gy2n
-        bI2 = lane_shift(b1[4], -d1n, -1, 0) * gy4n
+        bM = lane_shift(b2[0] * e_m2, -d2n2, -1, 1) * binv_prev
+        bD1 = lane_shift(b1[1] * gx1n, 1 - d1n, 0, 1)
+        bD2 = lane_shift(b1[3] * gx3n, 1 - d1n, 0, 1)
+        bI1 = lane_shift(b1[2] * gy2n, -d1n, -1, 0)
+        bI2 = lane_shift(b1[4] * gy4n, -d1n, -1, 0)
         dest = [bM, bD1, bI1, bD2, bI2]
 
         new = []
@@ -430,7 +485,6 @@ def _realign_kernel(
         new = [x * inv for x in new]
 
         # ---- EM expectations ----
-        f_hat = [f_buf[kl * 5 + st] for st in range(NUM_STATES)]
         factor_trans = g_next * sfinv_next  # (1, BT)
         for s in range(NUM_STATES):
             fs = f_hat[s] * factor_trans
@@ -441,7 +495,7 @@ def _realign_kernel(
         g_k = jnp.minimum(g_k, 3e37)  # keep dead lanes finite
         gamma = [f_hat[s] * new[s] * g_k for s in range(NUM_STATES)]
 
-        oh_xc, oh_yc = _unpack_onehots(bufc[slot * SEG + kl])
+        oh_xc, oh_yc = _unpack_onehots(cur_tile)
         for a in range(4):
             ga = gamma[0] * oh_xc[a]
             for b_ in range(4):
@@ -490,6 +544,27 @@ def _realign_kernel(
         slot = lax.rem(s, 2)
         k0 = s * SEG
 
+        # save the incoming (ascending-order) first two diagonals of
+        # the segment ABOVE this one — the top backward steps need
+        # their emissions/deltas and the caches are about to be
+        # overwritten.  At si=0 they keep their zero/sentinel init
+        # (beyond-lattice diagonals have zero emissions by contract).
+        @pl.when(si >= 1)
+        def _save_top():
+            for e in range(5):
+                top_e[e] = e_cache[e]
+                top_e[5 + e] = e_cache[5 + e]
+
+            @pl.when(slot == 0)  # previous segment used slot 1
+            def _tc0():
+                top_c[0] = bufc[SEG]
+                top_c[1] = bufc[SEG + 1]
+
+            @pl.when(slot == 1)
+            def _tc1():
+                top_c[0] = bufc[0]
+                top_c[1] = bufc[1]
+
         @pl.when(s >= 1)
         def _():
             for d in seg_dmas(s - 1, 1 - slot):
@@ -515,17 +590,21 @@ def _realign_kernel(
         dummy_acc = zb
         for pp in range(pairs_per_seg):
             t = slot * SEG + 2 * pp
-            new_b, ls_b, _, _, _ = fwd_diag_step(
+            new_b, ls_b, _, _, _, em_b = fwd_diag_step(
                 k0 + 2 * pp + 1, bufc[t], a, b, rs, ls_a, dummy_acc,
                 ones_b, rescale=False,
             )
-            new_a, ls_a, rs, _, _ = fwd_diag_step(
+            new_a, ls_a, rs, _, _, em_a = fwd_diag_step(
                 k0 + 2 * pp + 2, bufc[t + 1], new_b, a, ones_b, ls_b,
                 dummy_acc, ones_b, rescale=True,
             )
             for st in range(NUM_STATES):
                 f_buf[(2 * pp) * 5 + st] = new_b[st]
                 f_buf[(2 * pp + 1) * 5 + st] = new_a[st]
+            # cache the diagonals' emissions for the backward sweep
+            for e in range(5):
+                e_cache[(2 * pp) * 5 + e] = em_b[e]
+                e_cache[(2 * pp + 1) * 5 + e] = em_a[e]
             # per-diagonal forward rescale inverses (linear), for the
             # backward g-factor product
             sfinv_buf[2 * pp] = ones_b  # odd diagonals never rescale
@@ -534,6 +613,22 @@ def _realign_kernel(
             a = new_a
 
         # ---- 2. backward + EM + MEA, diagonals k0+SEG .. k0+1 ----
+        def cached_gap(j):
+            """(gx1,gx3,gy2,gy4) of segment-local diagonal j (0-based
+            from k0+1); j in [SEG, SEG+1] reads the saved top slots."""
+            if j < SEG:
+                return tuple(e_cache[j * 5 + 1 + e] for e in range(4))
+            return tuple(top_e[(j - SEG) * 5 + 1 + e] for e in range(4))
+
+        def cached_em(j):
+            if j < SEG:
+                return e_cache[j * 5]
+            return top_e[(j - SEG) * 5]
+
+        def cur_bits(j):
+            tile = bufc[slot * SEG + j] if j < SEG else top_c[j - SEG]
+            return (tile.astype(jnp.int32) >> 6) & 1
+
         carry = (
             [bwd1[st] for st in range(NUM_STATES)],
             [bwd2[st] for st in range(NUM_STATES)],
@@ -544,7 +639,15 @@ def _realign_kernel(
         for kl in range(SEG - 1, -1, -1):
             sfinv_next = scal[7] if kl == SEG - 1 else sfinv_buf[kl + 1]
             carry, choice = bwd_diag_step(
-                k0 + kl + 1, kl, slot, sfinv_next, carry
+                k0 + kl + 1,
+                bufc[slot * SEG + kl],
+                cached_gap(kl + 1),
+                cached_em(kl + 2),
+                cur_bits(kl + 1),
+                cur_bits(kl + 2),
+                [f_buf[kl * 5 + st] for st in range(NUM_STATES)],
+                sfinv_next,
+                carry,
             )
             # dirs_buf[slot*SEG + kl] = choice with a TRACED slot is the
             # kernel's only traced-index scratch WRITE; keep stores
@@ -587,13 +690,10 @@ def _realign_kernel(
         ).wait()
 
     # ---- final step: diagonal 0 (forward state = start tile) ----
-    for st in range(NUM_STATES):
-        f_buf[st] = start_tile
-    # reuse bwd_diag_step with kl=0, slot via dedicated buffers: copy the
-    # diag-0 code tiles into bufc/bufn slot 0 row 0
-    bufn[0] = xy0_ref[0]
-    # cur codes at diag 0 are all-sentinel (j-1, i-1 < 0 everywhere)
-    bufc[0] = jnp.full((W, BT), (5 << 3) | 5, jnp.int8)
+    # segment 0 ran in slot 0: bufc[0]/bufc[1] still hold the diag-1/2
+    # cur codes and e_cache rows 0-9 their emissions.  Cur codes at
+    # diag 0 itself are all-sentinel (j-1, i-1 < 0 everywhere).
+    sent_tile = jnp.full((W, BT), (5 << 3) | 5, jnp.int8)
     carry = (
         [bwd1[st] for st in range(NUM_STATES)],
         [bwd2[st] for st in range(NUM_STATES)],
@@ -602,7 +702,17 @@ def _realign_kernel(
         mea_buf[4], mea_buf[5],
     )
     # scal[7] now holds sfinv of diagonal 1 (segment 0's first)
-    carry, choice0 = bwd_diag_step(jnp.int32(0), 0, 0, scal[7], carry)
+    carry, choice0 = bwd_diag_step(
+        jnp.int32(0),
+        sent_tile,
+        tuple(e_cache[1 + e] for e in range(4)),
+        e_cache[5],
+        (bufc[0].astype(jnp.int32) >> 6) & 1,
+        (bufc[1].astype(jnp.int32) >> 6) & 1,
+        [start_tile for _ in range(NUM_STATES)],
+        scal[7],
+        carry,
+    )
     dirs_buf[0] = choice0
     u0 = carry[4]
     score_ref[:, :] = u0[0:1, :]
@@ -653,8 +763,6 @@ def prepare_pallas_realign(batch: BandedBatch, params: KernelParams) -> dict:
     """Host-side repack of a BandedBatch for the fused realign kernel."""
     xc = np.asarray(batch.xc)
     yc = np.asarray(batch.yc)
-    xn = np.asarray(batch.xn)
-    yn = np.asarray(batch.yn)
     offsets = np.asarray(batch.offsets)
     m = np.asarray(batch.m)
     n = np.asarray(batch.n)
@@ -680,24 +788,14 @@ def prepare_pallas_realign(batch: BandedBatch, params: KernelParams) -> dict:
         (j - 1 < 0) | (j - 1 >= n[:, None, None]),
         (i - 1 < 0) | (i - 1 >= m[:, None, None]),
     )  # (B, K1, W)
-    pk_next = pack(
-        xn, yn,
-        (j < 0) | (j >= n[:, None, None]),
-        (i < 0) | (i >= m[:, None, None]),
-    )
 
     # PER-READ band geometry in the top bits (kernel header): the
     # Lipschitz-1 offset deltas d1[k] = o[k] - o[k-1] in {0, 1};
-    # cur tile k: bit6 = d1[k], bit7 = d1[k-1];
-    # next tile k: bit6 = d1[k+1], bit7 = d1[k+2] (0 past K).
+    # cur tile k: bit6 = d1[k], bit7 = d1[k-1].
     d1r = np.zeros((B, K1), np.uint8)
     d1r[:, 1:] = (offsets[:, 1:] - offsets[:, :-1]).astype(np.uint8)
     b7c = np.zeros_like(d1r)
     b7c[:, 1:] = d1r[:, :-1]
-    b6n = np.zeros_like(d1r)
-    b6n[:, :-1] = d1r[:, 1:]
-    b7n = np.zeros_like(d1r)
-    b7n[:, :-2] = d1r[:, 2:]
 
     def add_bits(pk, b6, b7):
         out = pk.view(np.uint8) | (b6[:, :, None] << 6) | (
@@ -706,7 +804,6 @@ def prepare_pallas_realign(batch: BandedBatch, params: KernelParams) -> dict:
         return out.view(np.int8)
 
     pk_cur = add_bits(pk_cur, d1r, b7c)
-    pk_next = add_bits(pk_next, b6n, b7n)
 
     B_pad = -(-B // BT) * BT
     NB = B_pad // BT
@@ -722,17 +819,6 @@ def prepare_pallas_realign(batch: BandedBatch, params: KernelParams) -> dict:
         )
 
     xyc = tile(pk_cur, 1)  # row r = diag r+1
-    xyn = tile(pk_next, 1)
-    xy0 = np.full((NB, 1, W, B_pad // NB), sent, np.int8)
-    xy0[:, 0] = np.ascontiguousarray(
-        np.transpose(
-            np.concatenate(
-                [pk_next[:, 0, :],
-                 np.full((B_pad - B, W), sent, np.int8)], axis=0
-            ),
-            (1, 0),
-        ).reshape(W, NB, BT).transpose(1, 0, 2)
-    )
 
     tf, emf, egf = _param_scalars(params)
 
@@ -741,8 +827,6 @@ def prepare_pallas_realign(batch: BandedBatch, params: KernelParams) -> dict:
 
     return {
         "xyc": xyc,
-        "xyn": xyn,
-        "xy0": xy0,
         "tf": tf,
         "emf": emf,
         "egf": egf,
@@ -760,7 +844,7 @@ def prepare_pallas_realign(batch: BandedBatch, params: KernelParams) -> dict:
     static_argnames=("k_pad", "NB", "W", "interpret"),
 )
 def _pallas_realign_call(
-    tf, emf, egf, ggmg, kend, xy0, xyc, xyn,
+    tf, emf, egf, ggmg, kend, xyc,
     k_pad, NB, W, interpret=False,
 ):
     S = k_pad // SEG
@@ -773,11 +857,6 @@ def _pallas_realign_call(
                 (None, 1, BT), lambda b, *_: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (None, 1, W, BT), lambda b, *_: (b, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
@@ -812,11 +891,15 @@ def _pallas_realign_call(
         scratch_shapes=[
             pltpu.VMEM((2 * CHUNK, W, BT), jnp.int8),  # bufA
             pltpu.VMEM((2 * SEG, W, BT), jnp.int8),  # bufc
-            pltpu.VMEM((2 * SEG, W, BT), jnp.int8),  # bufn
             pltpu.VMEM((2, 10, W, BT), jnp.float32),  # bndbuf
             pltpu.VMEM((2, 8, 1, BT), jnp.float32),  # bscalbuf
             pltpu.VMEM((SEG * 5, W, BT), jnp.float32),  # f_buf
             pltpu.VMEM((SEG, 1, BT), jnp.float32),  # sfinv_buf
+            pltpu.VMEM((SEG * 5, W, BT), jnp.float32),  # e_cache
+            pltpu.VMEM((10, W, BT), jnp.float32),  # top_e
+            pltpu.VMEM((2, W, BT), jnp.int8),  # top_c
+            pltpu.VMEM((2, 10, W, BT), jnp.float32),  # stageA
+            pltpu.VMEM((2, 8, 1, BT), jnp.float32),  # stageS
             pltpu.VMEM((5, W, BT), jnp.float32),  # sA
             pltpu.VMEM((5, W, BT), jnp.float32),  # sB
             pltpu.VMEM((5, W, BT), jnp.float32),  # bwd1
@@ -825,9 +908,9 @@ def _pallas_realign_call(
             pltpu.VMEM((6, W, BT), jnp.float32),  # mea_buf
             pltpu.VMEM((8, 1, BT), jnp.float32),  # scal
             pltpu.VMEM((2 * SEG, W, BT), jnp.int8),  # dirs_buf
-            pltpu.SemaphoreType.DMA((4, 2)),
+            pltpu.SemaphoreType.DMA((3, 2)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     out_shapes = [
@@ -847,7 +930,7 @@ def _pallas_realign_call(
         out_shape=out_shapes,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tf, emf, egf, ggmg, kend, xy0, xyc, xyn)
+    )(tf, emf, egf, ggmg, kend, xyc)
     loglik, score, trans, e16, edel, eins, dirs, _, _ = outs
 
     def lanes(x):  # (NB, R, BT) -> (NB*BT, R)
@@ -900,9 +983,7 @@ class PallasRealignPlan:
         ) + (
             jnp.asarray(np.array([gap_gamma, match_gamma], np.float32)),
             jnp.asarray(prep["kend"]),
-            jnp.asarray(prep["xy0"]),
             jnp.asarray(prep["xyc"]),
-            jnp.asarray(prep["xyn"]),
         )
         self.k_pad = prep["k_pad"]
         self.B = prep["B"]
