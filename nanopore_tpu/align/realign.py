@@ -30,8 +30,8 @@ from nanopore_tpu.ops.pairhmm import (
 from nanopore_tpu.ops.mea import (
     mea_decode_batch,
     mea_traceback,
-    mea_traceback_fwd,
     rescore_by_posterior,
+    traceback_cigars_batch,
 )
 from nanopore_tpu.ops.dispatch import (
     PreparedRealign,
@@ -109,8 +109,8 @@ def realign_records(
 
     for sub, prepared in prefetched(prepared_batches(), depth=2):
         batch = prepared if rescore else prepared.batch
-        offs_np = np.asarray(batch.offsets)
         if rescore:
+            offs_np = np.asarray(batch.offsets)
             # two-pass path: the rescore consumes the posterior band
             fb = forward_backward(batch, params)
             dirs, _ = mea_decode_batch(
@@ -131,16 +131,15 @@ def realign_records(
         else:
             # fused rematerialised path: no stored lattice / gamma
             # bands, so realign batches scale; Pallas kernel on TPU,
-            # XLA scan elsewhere (ops.dispatch)
+            # XLA scan elsewhere (ops.dispatch).  Traceback runs ON
+            # DEVICE (batched diagonal scan) — only the per-diagonal op
+            # matrix crosses to the host, not the direction bands.
             fused = prepared.run()
-            dirs_np = np.asarray(fused["dirs"])
+            cigars = traceback_cigars_batch(
+                fused["dirs"], batch.offsets, batch.m, batch.n
+            )
             for b, idx in enumerate(sub):
-                rec = records[idx]
-                m = len(rec.seq)
-                n = len(ref_seqs[rec.rname])
-                rec.cigar = mea_traceback_fwd(
-                    dirs_np[b], offs_np[b], m, n
-                )
+                records[idx].cigar = cigars[b]
     return scores if rescore else []
 
 

@@ -27,7 +27,7 @@ from nanopore_tpu.ops.pairhmm import (
     make_kernel_params,
     prepare_banded_batch,
 )
-from nanopore_tpu.ops.mea import mea_traceback_fwd
+from nanopore_tpu.ops.mea import traceback_cigars_batch
 from nanopore_tpu.ops.dispatch import (
     PreparedRealign,
     prefer_host_batch,
@@ -56,9 +56,11 @@ class MapperConfig:
     batch_size: int | None = None  # None: ops.dispatch picks per kernel
     max_ref_gap: int = 5000
     max_diag_drift: int = 500
-    # extension decode: "mea" = posterior MEA (marginAlign-calibrated),
-    # "viterbi" = single-pass max-product (fast path, ~3x less device
-    # work; the analogue of the reference aligners' own extension DP)
+    # extension decode: "mea" = posterior MEA (marginAlign-calibrated;
+    # the fused Pallas kernel — the fast path on TPU), "viterbi" =
+    # single-pass max-product on the XLA scan (the analogue of the
+    # reference aligners' own extension DP; max-product semantics, but
+    # NOT faster on TPU — see ops/viterbi.py)
     decode: str = "mea"
 
 
@@ -249,7 +251,11 @@ class MappingEngine:
                 continue
             s1, s2 = c.chain_s1, c.chain_s2
             if s1 > 0:
-                support = min(1.0, s1 / (4.0 * self.config.min_chain_score))
+                # min_chain_score <= 0 (fully permissive mapping) means
+                # every chain has "full" support — avoid the zero divide
+                support = min(
+                    1.0, s1 / max(4.0 * self.config.min_chain_score, 1e-9)
+                )
                 primary_q = 60.0 * (1.0 - s2 / s1) * support
             if len(items) >= 2:
                 lens = np.array(
@@ -336,15 +342,14 @@ class MappingEngine:
         else:
             # fused remat fwd/bwd + reverse-MEA: no stored lattice, so
             # extension batches scale; backend picked by ops.dispatch
-            # (Pallas on TPU, XLA scan elsewhere)
-            offsets = np.asarray(prep.batch.offsets)
+            # (Pallas on TPU, XLA scan elsewhere).  Traceback runs on
+            # device too — the direction bands never cross to the host.
+            batch = prep.batch
             fused = prep.run()
             logliks = np.asarray(fused["loglik"], np.float64)
-            dirs = np.asarray(fused["dirs"])
-            for b, c in enumerate(sub):
-                m = len(c.read_codes)
-                n = c.window_end - c.window_start
-                cigars.append(mea_traceback_fwd(dirs[b], offsets[b], m, n))
+            cigars = traceback_cigars_batch(
+                fused["dirs"], batch.offsets, batch.m, batch.n
+            )
         out = []
         for b, (c, cigar) in enumerate(zip(sub, cigars)):
             rec = self._record_from_window_cigar(c, cigar, quals)

@@ -57,7 +57,17 @@ def pallas_eligible(batch: BandedBatch) -> bool:
     ride the streamed code top bits, so mixed-band batches need no
     uniformity check; W=64 is the hardware-validated tile width (the
     production default throughout — engine.py/em.py band_width=64)."""
-    return batch.xc.shape[-1] == 64
+    ok = batch.xc.shape[-1] == 64
+    if not ok:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "pallas kernel skipped: band_width=%d != 64, batch of %d "
+            "falls back to the XLA scan (latency-bound on TPU)",
+            batch.xc.shape[-1],
+            batch.xc.shape[0],
+        )
+    return ok
 
 
 def realign_fused_auto(

@@ -383,6 +383,110 @@ def realign_fused(batch, params, gap_gamma: float = 0.5,
     )
 
 
+# --------------------------------------------------------------------- #
+# On-device batched traceback
+# --------------------------------------------------------------------- #
+# The per-cell Python walk (mea_traceback_fwd) forces the ENTIRE
+# direction band to the host — (B, K+1, W) int8 is ~655 MB at bench
+# shapes, against a remote device — and then burns ~m+n Python-loop
+# iterations per read.  The walk is sequential per read but each
+# diagonal holds at most ONE visited cell, so it vectorises over the
+# batch as a lax.scan over diagonals: carry = (i, j, next-diagonal) per
+# read, each step selects the current cell's direction with a one-hot
+# band contraction (never a gather — CLAUDE.md perf rule 2) and emits
+# one op code per read.  Device->host traffic drops to the (B, K+1)
+# int8 op matrix (~10 MB) and the host does a vectorised run-length
+# encode.  Semantics are pinned to mea_traceback_fwd
+# (tests/test_mea.py::test_device_traceback_matches_host).
+
+OP_M, OP_D, OP_I, OP_NONE = 0, 1, 2, 3
+_OP_TO_CIG = {OP_M: CIG.M, OP_D: CIG.D, OP_I: CIG.I}
+
+
+@jax.jit
+def _traceback_ops_jit(dirs, offsets, m, n):
+    """dirs (B, K1, W) int8 forward dir codes -> per-diagonal op codes.
+
+    Returns (B, K1) int8 in {OP_M, OP_D, OP_I, OP_NONE}; the op at
+    column k is the move taken OUT of the path cell on diagonal k
+    (OP_NONE where the path skipped diagonal k or already ended).
+    """
+    from nanopore_tpu.ops.pairhmm import SCAN_UNROLL
+
+    B, K1, W = dirs.shape
+    dirs_t = jnp.swapaxes(dirs, 0, 1)  # (K1, B, W)
+    offs_t = jnp.swapaxes(offsets, 0, 1).astype(jnp.int32)  # (K1, B)
+    lanes = jnp.arange(W, dtype=jnp.int32)
+    m = m.astype(jnp.int32)
+    n = n.astype(jnp.int32)
+    zero = jnp.zeros((B,), jnp.int32)
+
+    def step(carry, xs):
+        i, j, nk = carry
+        dirs_k, off_k, k = xs
+        active = (nk == k) & ((i < m) | (j < n))
+        b = j - off_k
+        in_band = (b >= 0) & (b < W)
+        oh = lanes[None, :] == b[:, None]
+        d = jnp.sum(jnp.where(oh, dirs_k.astype(jnp.int32), 0), axis=1)
+        d = jnp.where(in_band, d, DIR_NONE)
+        can_diag = (d == DIR_DIAG) & (i < m) & (j < n)
+        can_del = (d == DIR_DEL) & (j < n)
+        can_ins = (d == DIR_INS) & (i < m)
+        # fallback order pinned to mea_traceback_fwd: D while ref
+        # remains, else I
+        fb_del = ~(can_diag | can_del | can_ins) & (j < n)
+        op = jnp.where(
+            can_diag, OP_M, jnp.where(can_del | fb_del, OP_D, OP_I)
+        )
+        op = jnp.where(active, op, OP_NONE).astype(jnp.int8)
+        di = (active & ((op == OP_M) | (op == OP_I))).astype(jnp.int32)
+        dj = (active & ((op == OP_M) | (op == OP_D))).astype(jnp.int32)
+        i = i + di
+        j = j + dj
+        nk = jnp.where(active, i + j, nk)
+        return (i, j, nk), op
+
+    xs = (dirs_t, offs_t, jnp.arange(K1, dtype=jnp.int32))
+    _, ops = lax.scan(step, (zero, zero, zero), xs, unroll=SCAN_UNROLL)
+    return jnp.swapaxes(ops, 0, 1)  # (B, K1)
+
+
+def _rle_ops_row(row: np.ndarray) -> list[tuple[int, int]]:
+    """Run-length encode one read's op-code row into a cigar."""
+    sel = row[row != OP_NONE]
+    if sel.size == 0:
+        return []
+    change = np.nonzero(np.diff(sel))[0]
+    starts = np.concatenate([[0], change + 1])
+    ends = np.concatenate([change + 1, [sel.size]])
+    return [
+        (_OP_TO_CIG[int(sel[s])], int(e - s))
+        for s, e in zip(starts, ends)
+    ]
+
+
+def traceback_cigars_batch(
+    dirs, offsets, m, n
+) -> list[list[tuple[int, int]]]:
+    """Batched traceback of FORWARD direction bands into global cigars.
+
+    Drop-in batched replacement for per-record ``mea_traceback_fwd``
+    calls: ``dirs`` may live on device (it is consumed there); only the
+    tiny op matrix crosses to the host.  Each returned cigar consumes
+    exactly m[b] read / n[b] ref bases.
+    """
+    ops = np.asarray(
+        _traceback_ops_jit(
+            jnp.asarray(dirs),
+            jnp.asarray(offsets),
+            jnp.asarray(m),
+            jnp.asarray(n),
+        )
+    )
+    return [_rle_ops_row(ops[b]) for b in range(ops.shape[0])]
+
+
 def mea_traceback_fwd(
     dirs: np.ndarray, offsets: np.ndarray, m: int, n: int
 ) -> list[tuple[int, int]]:

@@ -1,4 +1,12 @@
-"""Pallas fused forward kernel for the banded pair-HMM (round 3).
+"""Pallas forward-only kernel for the banded pair-HMM (EXPERIMENTAL).
+
+STATUS: stepping-stone / test harness, NOT a production path.  The
+production kernel is ops/pairhmm_pallas_realign.py (fused forward +
+backward/EM + reverse-MEA), which production code reaches through
+ops/dispatch.py; the only production imports from this module are the
+``_unpack_onehots``/``_unpack_onehots32`` helpers it shares.  This file
+is kept as the minimal forward-only harness the hardware findings below
+were established on (tests/test_pallas.py pins its parity).
 
 The XLA-scan kernel (ops/pairhmm.py) is latency-bound: each anti-diagonal
 is one while-loop step (~4.5us dispatch) while the actual VPU work per

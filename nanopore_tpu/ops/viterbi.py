@@ -1,4 +1,4 @@
-"""Banded five-state pair-HMM Viterbi decode (the fast mapper path).
+"""Banded five-state pair-HMM Viterbi decode (max-product alignment).
 
 Max-product twin of the forward scan in nanopore_tpu.ops.pairhmm: the
 same guide-following band and anti-diagonal wavefront, but log-space
@@ -6,9 +6,16 @@ max/argmax instead of scaled sum — one pass plus a host traceback
 replaces forward + backward + MEA when only a best alignment is wanted.
 This is the TPU-native stand-in for the *extension* stage of the
 reference's non-probabilistic aligners (bwa mem / lastal / lastz /
-blasr sparse DP, reference ``nanopore/mappers/*.py``): roughly a 3x
-device-work cut versus the MEA path, with a calibrated score (the
-Viterbi log-likelihood) instead of an arbitrary integer scoring scheme.
+blasr sparse DP, reference ``nanopore/mappers/*.py``), with a
+calibrated score (the Viterbi log-likelihood) instead of an arbitrary
+integer scoring scheme.
+
+NOTE on speed: this runs on the XLA anti-diagonal scan, which is
+dispatch-latency-bound on TPU — the fused Pallas MEA kernel
+(``decode: "mea"``, the default) is the FAST path there despite doing
+~3x the algorithmic work.  Choose ``decode: "viterbi"`` for max-product
+*semantics* (a single best path, no posterior averaging), or for speed
+on non-TPU backends only.
 
 Backpointers are the only stored lattice: (K, 5, W) int8 — the argmax
 predecessor *state* per cell; the move geometry (diagonal / left / up)

@@ -119,33 +119,74 @@ def merge_sam_shards(
     [i::n] of an ordered record list (the realign case: one global
     record per (read, ref) in chained order).  Shard files are removed
     after the merge.  Returns the merged record count.
+
+    Both orders STREAM: memory is O(shards), not O(records), so the
+    host-0 merge scales to pod-size outputs.  The sorted merge is a
+    k-way heap merge relying on each shard being internally sorted by
+    SamRecord.sort_key (map_fastq sorts before writing); shard order is
+    verified while streaming and an unsorted shard falls back to an
+    in-memory sort of that merge.
     """
+    import heapq
+
     from nanopore_tpu.io.sam import SamReader, SamWriter
 
     readers = [SamReader(p) for p in paths]
-    shards = [list(r) for r in readers]
-    if order == "interleave":
-        # original index of shard i's j-th record is j*n + i, so taking
-        # row j across shards in shard order reconstructs list order
-        merged = []
-        j = 0
-        while any(j < len(s) for s in shards):
-            for s in shards:
-                if j < len(s):
-                    merged.append(s[j])
-            j += 1
-    else:
-        # same key map_fastq sorts with single-host; a read's candidates
-        # all live in one shard (reads are sharded whole), so stable
-        # sort reproduces the single-host byte order
-        merged = [rec for shard in shards for rec in shard]
-        merged.sort(key=lambda r: r.sort_key())
+    count = 0
     with SamWriter(output_path, template=readers[0]) as writer:
-        for rec in merged:
-            writer.write(rec)
+        if order == "interleave":
+            # original index of shard i's j-th record is j*n + i, so
+            # taking row j across shards in shard order reconstructs
+            # list order
+            iters = [iter(r) for r in readers]
+            live = list(iters)
+            while live:
+                nxt = []
+                for it in live:
+                    rec = next(it, None)
+                    if rec is not None:
+                        writer.write(rec)
+                        count += 1
+                        nxt.append(it)
+                live = nxt
+        else:
+            # same key map_fastq sorts with single-host; a read's
+            # candidates all live in one shard (reads are sharded
+            # whole), so the k-way merge reproduces single-host order
+            def checked(reader):
+                prev_key = None
+                for rec in reader:
+                    key = rec.sort_key()
+                    if prev_key is not None and key < prev_key:
+                        raise _UnsortedShard(reader.path)
+                    prev_key = key
+                    yield key, rec
+
+            try:
+                for _, rec in heapq.merge(
+                    *(checked(r) for r in readers), key=lambda kr: kr[0]
+                ):
+                    writer.write(rec)
+                    count += 1
+            except _UnsortedShard:
+                merged = [rec for r in readers for rec in r]
+                merged.sort(key=lambda r: r.sort_key())
+                writer._fh.seek(0)
+                writer._fh.truncate()
+                writer._fh.write("@HD\tVN:1.6\tSO:unknown\n")
+                for line in readers[0].header_lines:
+                    if not line.startswith("@HD"):
+                        writer._fh.write(line + "\n")
+                for rec in merged:
+                    writer.write(rec)
+                count = len(merged)
     for p in paths:
         try:
             os.remove(p)
         except OSError:  # pragma: no cover
             pass
-    return len(merged)
+    return count
+
+
+class _UnsortedShard(Exception):
+    pass

@@ -33,30 +33,53 @@ def prefetched(
     on the worker thread) or a generator whose ``next()`` itself does
     the expensive preparation — both run off the consumer thread.
     Exceptions on the worker re-raise at the consumption point.
+
+    If the consumer abandons the generator (raises, breaks, or is
+    garbage-collected), the worker is cancelled: it stops preparing new
+    items and exits instead of blocking forever on a full queue holding
+    device batches alive (long-lived pipeline processes otherwise leak
+    a thread + queued device arrays per abandoned iteration).
     """
     q: queue.Queue = queue.Queue(maxsize=max(1, depth))
     errs: list[BaseException] = []
+    cancel = threading.Event()
+
+    def put(item) -> bool:
+        """Bounded put that gives up when the consumer cancelled."""
+        while not cancel.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in thunks:
+                if cancel.is_set():
+                    return
                 if callable(item):
                     item = item()
-                q.put(item)
+                if not put(item):
+                    return
         except BaseException as exc:  # noqa: BLE001 — re-raised below
             errs.append(exc)
         finally:
-            q.put(_SENTINEL)
+            put(_SENTINEL)
 
     t = threading.Thread(
         target=worker, name="nanopore-prefetch", daemon=True
     )
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            break
-        yield item
-    t.join()
-    if errs:
-        raise errs[0]
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            yield item
+        t.join()
+        if errs:
+            raise errs[0]
+    finally:
+        cancel.set()

@@ -27,6 +27,10 @@ def small_kernel_geometry():
     ppr.SEG = 4
     yield
     ppr.CHUNK, ppr.SEG = old_chunk, old_seg
+    # the jit cache keys only on shapes, not CHUNK/SEG: drop entries
+    # traced with the small geometry so later same-shape calls in this
+    # process retrace with the restored production constants
+    ppr._pallas_realign_call.clear_cache()
 
 
 @pytest.fixture(scope="module")

@@ -59,6 +59,66 @@ def cigar_matches(cigar, ref, read):
     return matches
 
 
+class TestDeviceTraceback:
+    def test_matches_host_walk(self):
+        """traceback_cigars_batch (on-device scan + host RLE) is pinned
+        to the per-cell host walk mea_traceback_fwd on mixed-geometry
+        batches (different lengths, indel guides, N bases)."""
+        from nanopore_tpu.ops.pairhmm import (
+            make_kernel_params,
+            prepare_banded_batch,
+        )
+        from nanopore_tpu.ops.mea import (
+            mea_traceback_fwd,
+            realign_fused,
+            traceback_cigars_batch,
+        )
+
+        rng = np.random.default_rng(31)
+        pairs = []
+        for b in range(5):
+            ref, read, _ = simulate_alignment(rng, n=200 + 17 * b)
+            pairs.append((ref, read, crude_guide(len(read), len(ref))))
+        # one read with an N base
+        pairs[2][1][10] = 4
+        params = make_kernel_params(PairHmmModel.default())
+        batch = prepare_banded_batch(pairs, band_width=16)
+        fused = realign_fused(batch, params)
+        got = traceback_cigars_batch(
+            fused["dirs"], batch.offsets, batch.m, batch.n
+        )
+        dirs_np = np.asarray(fused["dirs"])
+        offs_np = np.asarray(batch.offsets)
+        for b, (x, y, _) in enumerate(pairs):
+            want = mea_traceback_fwd(
+                dirs_np[b], offs_np[b], len(y), len(x)
+            )
+            assert got[b] == want
+            # global-alignment invariant (utils.py:381-382)
+            assert sum(l for op, l in got[b] if op in (CIG.M, CIG.I)) == len(y)
+            assert sum(l for op, l in got[b] if op in (CIG.M, CIG.D)) == len(x)
+
+    def test_degenerate_rows(self):
+        """Empty-ish rows: a read much shorter than the band's K."""
+        from nanopore_tpu.ops.mea import (
+            OP_NONE,
+            _rle_ops_row,
+            traceback_cigars_batch,
+        )
+        import jax.numpy as jnp
+
+        assert _rle_ops_row(np.full(8, OP_NONE, np.int8)) == []
+        # dirs all DIR_NONE: fallback consumes D's then I's
+        W = 8
+        dirs = np.full((1, 7, W), 3, np.int8)
+        offsets = np.zeros((1, 7), np.int32)
+        cig = traceback_cigars_batch(
+            jnp.asarray(dirs), jnp.asarray(offsets),
+            np.array([2]), np.array([3]),
+        )[0]
+        assert cig == [(CIG.D, 3), (CIG.I, 2)]
+
+
 class TestRealign:
     def test_realign_improves_crude_guide(self):
         rng = np.random.default_rng(0)
