@@ -46,7 +46,10 @@ class EmOptions:
     seed: int = 0
     pseudocount: float = 1e-6
     convergence_tol: float = 1e-4  # relative loglik change to stop early
-    use_mesh: bool = False  # shard over (dp, trial) when devices > 1
+    # shard over a (dp, trial) mesh: None = auto (True on a real
+    # multi-chip TPU backend — the most common production config; CPU
+    # test meshes opt in explicitly, their single-device path is faster)
+    use_mesh: bool | None = None
     # checkpointed-backward segment length (diagonals): the E-step never
     # stores the O(K) forward lattice, so memory is O(K/seg + seg) and
     # long reads train at full batch (see ops.pairhmm.em_expectations)
@@ -179,20 +182,32 @@ def em_train(
         kept.append(pair)
     assert kept, "no alignments to train on"
 
-    if opts.use_mesh:
+    use_mesh = opts.use_mesh
+    if use_mesh is None:
+        import jax
+
+        use_mesh = jax.device_count() > 1 and jax.default_backend() in (
+            "tpu", "axon",
+        )
+    if use_mesh:
         return _em_train_sharded(kept, opts)
 
     # batches are shape-stable across iterations: prepare once; on TPU
     # a PreparedEm plan keeps the packed codes device-resident and
     # swaps only the model scalars each iteration (Pallas kernel);
-    # elsewhere the module-level em_expectations runs per batch
+    # elsewhere the module-level em_expectations runs per batch.
+    # Batches round-robin over the local devices (single-process data
+    # parallelism — each batch's E-step runs on its own chip).
     from nanopore_tpu.ops.dispatch import (
         PreparedEm,
+        _place_batch,
         kernel_choice,
+        local_dp_devices,
         pallas_eligible,
         prefer_host_batch,
     )
 
+    devices = local_dp_devices()
     batches: list[BandedBatch] = []
     for s in range(0, len(kept), opts.batch_size):
         batches.append(
@@ -203,12 +218,16 @@ def em_train(
             )
         )
 
-    preps = [
-        PreparedEm(b, segment_size=opts.remat_segment)
-        if kernel_choice() == "pallas" and pallas_eligible(b)
-        else None
-        for b in batches
-    ]
+    preps = []
+    for i, b in enumerate(batches):
+        dev = devices[i % len(devices)]
+        if kernel_choice() == "pallas" and pallas_eligible(b):
+            preps.append(
+                PreparedEm(b, segment_size=opts.remat_segment, device=dev)
+            )
+        else:
+            batches[i] = _place_batch(b, dev)
+            preps.append(None)
 
     trial_models: list[PairHmmModel] = []
     running: list[list[float]] = []
@@ -292,14 +311,17 @@ def em_train(
             trans = np.zeros((5, 5))
             emis = np.zeros((5, 16))
             loglik = 0.0
-            for batch, prep in zip(batches, preps):
-                out = (
-                    prep.run(params)
-                    if prep is not None
-                    else em_expectations(
-                        batch, params, segment_size=opts.remat_segment
-                    )
+            # launch every batch's E-step first (async dispatch): the
+            # round-robin devices compute concurrently; materialise after
+            outs = [
+                prep.run(params)
+                if prep is not None
+                else em_expectations(
+                    batch, params, segment_size=opts.remat_segment
                 )
+                for batch, prep in zip(batches, preps)
+            ]
+            for out in outs:
                 trans += np.asarray(out["trans"], np.float64).sum(axis=0)
                 emis += np.asarray(out["emis"], np.float64).sum(axis=0)
                 loglik += float(np.asarray(out["loglik"]).sum())

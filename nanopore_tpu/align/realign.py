@@ -35,6 +35,7 @@ from nanopore_tpu.ops.mea import (
 )
 from nanopore_tpu.ops.dispatch import (
     PreparedRealign,
+    local_dp_devices,
     prefer_host_batch,
     preferred_realign_batch_size,
 )
@@ -63,10 +64,16 @@ def realign_records(
     else an empty list.
     """
     from nanopore_tpu.runtime.prefetch import prefetched
+    from nanopore_tpu.ops.dispatch import kernel_choice
+    from nanopore_tpu.ops.posteriors import rescore_cigars
 
     params = make_kernel_params(model or PairHmmModel.default())
     scores: list[float] = [float("nan")] * len(records)
     batch_size = preferred_realign_batch_size(batch_size)
+    # rescore on TPU: the fused kernel streams the gamma_match band
+    # (emit_gamma), so redecode + rescore stay on device; elsewhere the
+    # two-pass forward_backward path serves small test batches
+    pallas_rescore = rescore and kernel_choice() == "pallas"
 
     # bucket by padded shapes to bound recompiles
     buckets: dict[tuple[int, int], list[int]] = {}
@@ -75,10 +82,16 @@ def realign_records(
         m = len(rec.seq)
         buckets.setdefault((_next_pow2(n), _next_pow2(m)), []).append(idx)
 
+    # single-process data parallelism: round-robin batches over the
+    # local chips (each PreparedRealign is committed to its device and
+    # its kernel runs there; async dispatch keeps all chips busy)
+    devices = local_dp_devices()
+
     def prepared_batches():
         """Pack + upload on the prefetch thread: the ~18s/20s host cost
         of prepare_banded_batch (CLAUDE.md) overlaps the previous
         batch's device kernel instead of serialising behind it."""
+        bi = 0
         for (n_pad, m_pad), idxs in buckets.items():
             for s in range(0, len(idxs), batch_size):
                 sub = idxs[s : s + batch_size]
@@ -97,19 +110,45 @@ def realign_records(
                     k_max=n_pad + m_pad,
                     n_pad_to=n_pad,
                     m_pad_to=m_pad,
-                    device=rescore or not prefer_host_batch(band_width),
+                    device=(rescore and not pallas_rescore)
+                    or not prefer_host_batch(band_width),
                 )
-                if rescore:
+                if rescore and not pallas_rescore:
                     yield sub, batch
                 else:
                     # kernel-specific repack + upload on this thread too
                     yield sub, PreparedRealign(
-                        batch, params, gap_gamma, match_gamma
-                    )
+                        batch, params, gap_gamma, match_gamma,
+                        emit_gamma=rescore,
+                        device=devices[bi % len(devices)],
+                        emit_em=False,  # decode needs no expectations
+                    ).launch()
+                    bi += 1
 
-    for sub, prepared in prefetched(prepared_batches(), depth=2):
-        batch = prepared if rescore else prepared.batch
-        if rescore:
+    for sub, prepared in prefetched(
+        prepared_batches(), depth=max(2, len(devices) + 1)
+    ):
+        batch = (
+            prepared
+            if rescore and not pallas_rescore
+            else prepared.batch
+        )
+        if rescore and getattr(prepared, "has_gamma", False):
+            # fused Pallas: dirs + gamma band in ONE kernel pass; the
+            # traceback and the posterior rescore of the NEW cigars
+            # both run on device (only op codes / scalars come back)
+            fused = prepared.run()
+            offs_np = np.asarray(batch.offsets)
+            cigars = traceback_cigars_batch(
+                fused["dirs"], batch.offsets, batch.m, batch.n
+            )
+            res = rescore_cigars(
+                fused["gamma_match"], offs_np, cigars, band_width
+            )
+            for b, idx in enumerate(sub):
+                records[idx].cigar = cigars[b]
+                scores[idx] = res[b]
+        elif rescore:
             offs_np = np.asarray(batch.offsets)
             # two-pass path: the rescore consumes the posterior band
             fb = forward_backward(batch, params)

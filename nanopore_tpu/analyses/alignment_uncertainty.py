@@ -7,8 +7,11 @@ probability under the trained blasr_hmm_0 model (the reference runs
 ``cactus_realign --rescoreByPosteriorProbIgnoringGaps
 --rescoreOriginalAlignment --diagonalExpansion=10
 --splitMatrixBiggerThanThis=100 --loadHmm=blasr_hmm_0.txt`` per read,
-alignmentUncertainty.py:41-42); here all records go through one batched
-forward-backward and the rescoring reads the posterior band.
+alignmentUncertainty.py:41-42); here records go through the posterior
+band backend picked by ops.dispatch (the fused Pallas kernel streaming
+gamma_match on TPU, the XLA forward_backward elsewhere) in full
+kernel-tile batches, and the rescoring is an on-device band reduction
+(ops.posteriors.rescore_cigars) — the bands never cross to the host.
 """
 
 from __future__ import annotations
@@ -27,9 +30,13 @@ from nanopore_tpu.io.xmlio import pretty_xml
 from nanopore_tpu.ops.pairhmm import (
     make_kernel_params,
     prepare_banded_batch,
-    forward_backward,
 )
-from nanopore_tpu.ops.mea import rescore_by_posterior
+from nanopore_tpu.ops.dispatch import (
+    PreparedPosteriors,
+    prefer_host_batch,
+    preferred_realign_batch_size,
+)
+from nanopore_tpu.ops.posteriors import rescore_cigars
 
 TRAINED_HMM_DIR = os.path.join(os.path.dirname(__file__), "..", "models")
 
@@ -45,7 +52,7 @@ def _next_pow2(x: int) -> int:
 
 class AlignmentUncertainty(Analysis):
     band_width = 64
-    batch_size = 4
+    batch_size = None  # ops.dispatch picks (full Pallas tiles on TPU)
 
     def run(self) -> None:
         data = ExperimentData(
@@ -78,23 +85,26 @@ class AlignmentUncertainty(Analysis):
             ).append(idx)
 
         results = [float("nan")] * len(records)
+        batch_size = preferred_realign_batch_size(self.batch_size)
         for (n_pad, m_pad), idxs in buckets.items():
-            for s in range(0, len(idxs), self.batch_size):
-                sub = idxs[s : s + self.batch_size]
+            for s in range(0, len(idxs), batch_size):
+                sub = idxs[s : s + batch_size]
                 batch = prepare_banded_batch(
                     [items[i] for i in sub],
                     band_width=self.band_width,
                     k_max=n_pad + m_pad,
                     n_pad_to=n_pad,
                     m_pad_to=m_pad,
+                    device=not prefer_host_batch(self.band_width),
                 )
-                fb = forward_backward(batch, params)
-                gm = np.asarray(fb["gamma_match"])
+                out = PreparedPosteriors(batch, params).run()
                 offs = np.asarray(batch.offsets)
+                scores = rescore_cigars(
+                    out["gamma_match"], offs,
+                    [items[i][2] for i in sub], self.band_width,
+                )
                 for b, i in enumerate(sub):
-                    results[i] = rescore_by_posterior(
-                        gm[b], offs[b], items[i][2]
-                    )
+                    results[i] = scores[b]
 
         for idx, rec in enumerate(records):
             avg_posteriors.append(results[idx])

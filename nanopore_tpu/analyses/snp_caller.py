@@ -15,8 +15,14 @@ TPU-native restructuring: posteriors are computed ONCE per HMM type for
 all records in batched kernel calls (they do not depend on the sampling
 quota), and the per-position Bayesian calls are vectorised over the
 whole reference; sampling replicates then only re-select read subsets.
-Randomised read order uses a seeded generator for reproducibility
-(the reference's unseeded random.shuffle is the only divergence).
+The posterior bands come from the backend picked by ops.dispatch — the
+fused Pallas kernel streaming gamma_match out of its backward phase on
+TPU, the XLA forward_backward elsewhere — in full kernel-tile batches,
+and are reduced to per-reference-position expected base counts ON
+DEVICE (ops.posteriors); only the tiny per-read expectation matrices
+cross to the host.  Randomised read order uses a seeded generator for
+reproducibility (the reference's unseeded random.shuffle is the only
+divergence).
 """
 
 from __future__ import annotations
@@ -36,9 +42,17 @@ from nanopore_tpu.io.xmlio import pretty_xml
 from nanopore_tpu.ops.pairhmm import (
     make_kernel_params,
     prepare_banded_batch,
-    forward_backward,
-    extract_posterior_pairs,
 )
+from nanopore_tpu.ops.dispatch import (
+    PreparedPosteriors,
+    prefer_host_batch,
+    preferred_realign_batch_size,
+)
+from nanopore_tpu.ops.posteriors import posterior_expectations_batch
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(6, (x - 1).bit_length())
 
 BASES = "ACGT"
 
@@ -106,38 +120,61 @@ class _SnpCalls:
 
 class MarginAlignSnpCaller(Analysis):
     band_width = 64
-    batch_size = 4
+    batch_size = None  # ops.dispatch picks (full Pallas tiles on TPU)
     seed = 1234
 
     # ------------------------------------------------------------------ #
     def _posteriors_for_hmm(
         self, data: ExperimentData, model: PairHmmModel
-    ) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
-        """Per-record (readPos, refPos, prob) triples under one model."""
+    ) -> list[np.ndarray]:
+        """Per-record (refLen, 4) posterior base-expectation matrices
+        under one model: the --outputAllPosteriorProbs reduction
+        (reference :136-155), with the gamma band reduced on device —
+        only these small matrices cross to the host."""
         params = make_kernel_params(model)
         out: list = [None] * len(data.records)
-        for s in range(0, len(data.records), self.batch_size):
-            sub = data.records[s : s + self.batch_size]
-            pairs = []
-            for rec in sub:
-                x = data.ref_codes[rec.rname]
-                y = encode(rec.query)
-                guide = [
-                    (op, l)
-                    for op, l in rec.cigar
-                    if op in (CIG.M, CIG.I, CIG.D)
-                ]
-                pairs.append((x, y, guide))
-            batch = prepare_banded_batch(pairs, band_width=self.band_width)
-            fb = forward_backward(batch, params)
-            gm = np.asarray(fb["gamma_match"])
-            offs = np.asarray(batch.offsets)
-            for b, rec in enumerate(sub):
-                m = len(pairs[b][1])
-                n = len(pairs[b][0])
-                out[s + b] = extract_posterior_pairs(
-                    gm[b], offs[b], m, n, POSTERIOR_THRESHOLD
+        batch_size = preferred_realign_batch_size(self.batch_size)
+        # bucket by padded read length (the ref span per record is the
+        # whole contig — chained global records)
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for idx, rec in enumerate(data.records):
+            n = len(data.ref_codes[rec.rname])
+            m = len(rec.query)
+            buckets.setdefault(
+                (_next_pow2(n), _next_pow2(m)), []
+            ).append(idx)
+        for (n_pad, m_pad), idxs in buckets.items():
+            for s in range(0, len(idxs), batch_size):
+                sub = idxs[s : s + batch_size]
+                pairs = []
+                for idx in sub:
+                    rec = data.records[idx]
+                    x = data.ref_codes[rec.rname]
+                    y = encode(rec.query)
+                    guide = [
+                        (op, l)
+                        for op, l in rec.cigar
+                        if op in (CIG.M, CIG.I, CIG.D)
+                    ]
+                    pairs.append((x, y, guide))
+                batch = prepare_banded_batch(
+                    pairs,
+                    band_width=self.band_width,
+                    k_max=n_pad + m_pad,
+                    n_pad_to=n_pad,
+                    m_pad_to=m_pad,
+                    device=not prefer_host_batch(self.band_width),
                 )
+                post = PreparedPosteriors(batch, params).run()
+                exps = posterior_expectations_batch(
+                    post["gamma_match"],
+                    post["yc"],
+                    np.asarray(batch.offsets),
+                    np.asarray(batch.n),
+                    threshold=POSTERIOR_THRESHOLD,
+                )
+                for b, idx in enumerate(sub):
+                    out[idx] = exps[b]
         return out
 
     # ------------------------------------------------------------------ #
@@ -256,16 +293,10 @@ class MarginAlignSnpCaller(Analysis):
                 (goff + ref_pos[ok], pq[ok]),
                 1.0,
             )
-            # posterior expectations (:149-155)
-            read_idx, ref_idx, probs = posteriors[idx]
-            query_codes = encode(rec.query)
-            rb = query_codes[read_idx]
-            okp = rb < 4
-            np.add.at(
-                expectations,
-                (goff + ref_idx[okp], rb[okp]),
-                probs[okp],
-            )
+            # posterior expectations (:149-155): the device reduction
+            # already produced this read's (refLen, 4) matrix
+            exp_r = posteriors[idx]
+            expectations[goff : goff + exp_r.shape[0]] += exp_r
 
         # mutated ref base codes over the flat coordinate space
         ref_codes_flat = np.concatenate(

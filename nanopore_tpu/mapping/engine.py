@@ -30,6 +30,8 @@ from nanopore_tpu.ops.pairhmm import (
 from nanopore_tpu.ops.mea import traceback_cigars_batch
 from nanopore_tpu.ops.dispatch import (
     PreparedRealign,
+    _place_batch,
+    local_dp_devices,
     prefer_host_batch,
     preferred_realign_batch_size,
 )
@@ -97,6 +99,10 @@ class MappingEngine:
                 ref_dict, k=self.config.k, max_occ=self.config.max_occ
             )
         self.params = make_kernel_params(model or PairHmmModel.default())
+        # single-process multi-chip: extension batches round-robin over
+        # the local devices (each batch committed to + run on its chip)
+        self._devices = local_dp_devices()
+        self._batch_counter = 0
 
     # ------------------------------------------------------------------ #
     def _candidates_for_read(
@@ -301,13 +307,18 @@ class MappingEngine:
             device=cfg.decode == "viterbi"
             or not prefer_host_batch(cfg.band_width),
         )
+        dev = self._devices[self._batch_counter % len(self._devices)]
+        self._batch_counter += 1
         if cfg.decode == "viterbi":
-            return sub, batch
+            return sub, _place_batch(batch, dev)
         # MEA path: the kernel-specific repack/upload happens here, on
-        # the prefetch thread, overlapping the previous batch's kernel.
+        # the prefetch thread, overlapping the previous batch's kernel;
+        # launch() puts the kernel in flight on this batch's chip so
+        # round-robin batches overlap across local devices.
         return sub, PreparedRealign(
-            batch, self.params, cfg.gap_gamma, cfg.match_gamma
-        )
+            batch, self.params, cfg.gap_gamma, cfg.match_gamma,
+            device=dev, emit_em=False,
+        ).launch()
 
     def _align_batch(
         self, sub, n_pad, m_pad, quals
@@ -467,7 +478,9 @@ class MappingEngine:
                     )
 
         results: list[tuple[_Candidate, SamRecord, float]] = []
-        for sub, batch in prefetched(prepared_batches(), depth=2):
+        for sub, batch in prefetched(
+            prepared_batches(), depth=max(2, len(self._devices) + 1)
+        ):
             results.extend(self._consume_batch(sub, batch, quals))
 
         by_read: dict[str, list] = {}

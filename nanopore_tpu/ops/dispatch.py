@@ -70,6 +70,41 @@ def pallas_eligible(batch: BandedBatch) -> bool:
     return ok
 
 
+def local_dp_devices() -> list:
+    """Local devices for single-process data parallelism, or [None].
+
+    The TPU-native replacement for the reference's per-node process
+    fan-out (batch-system maxThreads, reference Makefile:1-3): one host
+    with N chips round-robins realign/EM/extension BATCHES across them
+    — each prepared batch is placed on (and its kernel runs on) its own
+    chip, and async dispatch overlaps the N in-flight batches.  Returns
+    [None] (default placement) when there is only one device.
+    """
+    import jax
+
+    try:
+        devs = jax.local_devices()
+    except Exception:  # pragma: no cover - no backend
+        return [None]
+    return list(devs) if len(devs) > 1 else [None]
+
+
+def _place_batch(batch: BandedBatch, device):
+    """Commit a batch's arrays to one device (host arrays upload there;
+    device arrays copy).  The downstream jit/pallas calls then execute
+    on that device."""
+    if device is None:
+        return batch
+    import jax
+
+    return batch._replace(
+        **{
+            f: jax.device_put(getattr(batch, f), device)
+            for f in ("xc", "yc", "xn", "yn", "offsets", "m", "n", "k_end")
+        }
+    )
+
+
 def realign_fused_auto(
     batch: BandedBatch,
     params: KernelParams,
@@ -106,8 +141,10 @@ class PreparedRealign:
         params: KernelParams,
         gap_gamma: float = 0.5,
         match_gamma: float = 0.0,
+        emit_gamma: bool = False,
+        device=None,
+        emit_em: bool = True,
     ):
-        self.batch = batch
         self._params = params
         self._gg = gap_gamma
         self._mg = match_gamma
@@ -116,16 +153,44 @@ class PreparedRealign:
                 PallasRealignPlan,
             )
 
+            self.batch = batch
             self._plan = PallasRealignPlan(
-                batch, params, gap_gamma, match_gamma
+                batch, params, gap_gamma, match_gamma, emit_gamma,
+                device=device, emit_em=emit_em,
             )
         else:
+            self.batch = _place_batch(batch, device)
             self._plan = None
 
-    def run(self) -> dict:
+    @property
+    def has_gamma(self) -> bool:
+        """True when run() will include the gamma_match band (the
+        Pallas kernel streams it; the XLA fused scan does not — its
+        rescore callers take the two-pass forward_backward instead)."""
+        return self._plan is not None and self._plan.emit_gamma
+
+    _out: dict | None = None
+
+    def launch(self) -> "PreparedRealign":
+        """Dispatch the kernel asynchronously NOW (JAX returns before
+        the device finishes).  Called on the prefetch thread, this puts
+        each round-robin device's batch in flight while earlier batches
+        are still being consumed — the single-process multi-chip
+        overlap.  run() then hands back the in-flight results."""
+        if self._out is None:
+            self._out = self._run()
+        return self
+
+    def _run(self) -> dict:
         if self._plan is not None:
             return self._plan.run()
         return realign_fused(self.batch, self._params, self._gg, self._mg)
+
+    def run(self) -> dict:
+        if self._out is not None:
+            out, self._out = self._out, None
+            return out
+        return self._run()
 
 
 class PreparedEm:
@@ -140,11 +205,14 @@ class PreparedEm:
     rematerialised em_expectations.
     """
 
-    def __init__(self, batch: BandedBatch, segment_size: int = 512):
+    def __init__(
+        self, batch: BandedBatch, segment_size: int = 512, device=None
+    ):
         self.batch = batch
         self._segment = segment_size
         self._plan = None
         self._dev_batch = None
+        self._device = device
         self._use_pallas = (
             kernel_choice() == "pallas" and pallas_eligible(batch)
         )
@@ -157,7 +225,9 @@ class PreparedEm:
             )
 
             if self._plan is None:
-                self._plan = PallasRealignPlan(self.batch, params)
+                self._plan = PallasRealignPlan(
+                    self.batch, params, device=self._device
+                )
             else:
                 self._plan.update_params(params)
             out = self._plan.run()
@@ -173,16 +243,89 @@ class PreparedEm:
             # then every EM iteration reuses the device arrays
             import jax.numpy as jnp
 
-            self._dev_batch = self.batch._replace(
-                **{
-                    f: jnp.asarray(getattr(self.batch, f))
-                    for f in ("xc", "yc", "xn", "yn", "offsets",
-                              "m", "n", "k_end")
-                }
-            )
+            if self._device is not None:
+                self._dev_batch = _place_batch(self.batch, self._device)
+            else:
+                self._dev_batch = self.batch._replace(
+                    **{
+                        f: jnp.asarray(getattr(self.batch, f))
+                        for f in ("xc", "yc", "xn", "yn", "offsets",
+                                  "m", "n", "k_end")
+                    }
+                )
         return em_expectations(
             self._dev_batch, params, segment_size=self._segment
         )
+
+
+class PreparedPosteriors:
+    """Posterior match-probability bands for the chosen kernel.
+
+    The ``--outputAllPosteriorProbs`` / ``--rescoreByPosteriorProb``
+    equivalent (reference marginAlignSnpCaller.py:136-146,
+    alignmentUncertainty.py:41-42): run() returns DEVICE-resident
+    {gamma_match (B, K+1, W), yc (B, K+1, W), loglik (B,)} for the
+    batch — the Pallas fused kernel streams the gamma band out of its
+    backward phase on TPU (``emit_gamma``); elsewhere the XLA
+    forward_backward supplies it.  Consume with ops.posteriors (the
+    bands never cross to the host).
+
+    Like PreparedRealign, build on the prefetch thread: the Pallas
+    repack + upload overlap the previous batch's kernel.
+    """
+
+    def __init__(
+        self, batch: BandedBatch, params: KernelParams, device=None
+    ):
+        self._params = params
+        if kernel_choice() == "pallas" and pallas_eligible(batch):
+            from nanopore_tpu.ops.pairhmm_pallas_realign import (
+                PallasRealignPlan,
+            )
+
+            self.batch = batch
+            # gamma + loglik only: the posterior consumers need no
+            # Baum-Welch expectations, so skip that accumulator work
+            self._plan = PallasRealignPlan(
+                batch, params, emit_gamma=True, device=device,
+                emit_em=False,
+            )
+        else:
+            self.batch = _place_batch(batch, device)
+            self._plan = None
+
+    _out: dict | None = None
+
+    def launch(self) -> "PreparedPosteriors":
+        """Async-dispatch now (see PreparedRealign.launch)."""
+        if self._out is None:
+            self._out = self._run()
+        return self
+
+    def _run(self) -> dict:
+        if self._plan is not None:
+            out = self._plan.run()
+            return {
+                "gamma_match": out["gamma_match"],
+                "yc": self._plan.yc_band(),
+                "loglik": out["loglik"],
+            }
+        import jax.numpy as jnp
+
+        from nanopore_tpu.ops.pairhmm import forward_backward
+
+        fb = forward_backward(self.batch, self._params)
+        return {
+            "gamma_match": fb["gamma_match"],
+            "yc": jnp.asarray(self.batch.yc),
+            "loglik": fb["loglik"],
+        }
+
+    def run(self) -> dict:
+        if self._out is not None:
+            out, self._out = self._out, None
+            return out
+        return self._run()
 
 
 def preferred_realign_batch_size(requested: int | None = None) -> int:

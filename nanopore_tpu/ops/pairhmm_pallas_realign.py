@@ -94,6 +94,10 @@ def _realign_kernel(
     dirs_hbm,  # (NB*(K_pad+1), W, BT) int8: direction codes, flattened
     bnd_hbm,  # (NB*S*10, W, BT) f32: boundary checkpoints, flattened
     bscal_hbm,  # (NB*S, 8, 1, BT) f32: boundary scalar rows
+    gm_hbm,  # (NB*(K_pad+1), W, BT) f32 gamma_match band (emit_gamma
+    #          mode — the --outputAllPosteriorProbs equivalent,
+    #          reference marginAlignSnpCaller.py:136-146); (1,1,1)
+    #          dummy otherwise
     # NOTE: all DMA addressing below uses a SINGLE dynamic offset on the
     # leading dim (rows flattened host-side) — the only start/wait src
     # patterns validated fast+correct on hardware (scripts_dev ladders)
@@ -122,9 +126,13 @@ def _realign_kernel(
     in_sems,  # DMA (3, 2): bufA/bufc, bndbuf, bscalbuf
     out_sems,  # DMA (2,)
     bnd_sems,  # DMA (2, 3): phase-A staged dumps, per stage slot
+    gm_buf,  # (2*SEG, W, BT) f32 gamma staging (emit_gamma) else (1,1,1)
+    gm_sems,  # DMA (2,)
     *,
     k_pad: int,
     W: int,
+    emit_gamma: bool,
+    emit_em: bool,
 ):
     bt = pl.program_id(0)
     n_chunks = k_pad // CHUNK
@@ -389,8 +397,13 @@ def _realign_kernel(
     loglik_ref[:, :] = loglik
 
     # ================= Phase B: backward sweep =================
-    for i in range(57):
-        em_buf[i] = zeros
+    # emit_em=False (the realign/mapping decode path — cactus_realign
+    # itself computes no Baum-Welch expectations, utils.py:587) skips
+    # the 57-row expectation accumulator entirely: ~70 VPU ops per
+    # diagonal and 1.9 MB of VMEM gone from the hot loop
+    if emit_em:
+        for i in range(57):
+            em_buf[i] = zeros
     mea_buf[0] = neg_tile  # u1
     mea_buf[1] = neg_tile  # u2
     for i in range(2, 6):
@@ -484,34 +497,36 @@ def _realign_kernel(
         inv = 1.0 / safe
         new = [x * inv for x in new]
 
-        # ---- EM expectations ----
+        # ---- EM expectations (gamma itself also feeds the MEA) ----
         factor_trans = g_next * sfinv_next  # (1, BT)
-        for s in range(NUM_STATES):
-            fs = f_hat[s] * factor_trans
-            for t2 in range(NUM_STATES):
-                em_buf[s * 5 + t2] = em_buf[s * 5 + t2] + fs * dest[t2]
+        if emit_em:
+            for s in range(NUM_STATES):
+                fs = f_hat[s] * factor_trans
+                for t2 in range(NUM_STATES):
+                    em_buf[s * 5 + t2] = em_buf[s * 5 + t2] + fs * dest[t2]
 
         g_k = factor_trans * safe * not_end + inv_fin * is_end_f
         g_k = jnp.minimum(g_k, 3e37)  # keep dead lanes finite
         gamma = [f_hat[s] * new[s] * g_k for s in range(NUM_STATES)]
 
-        oh_xc, oh_yc = _unpack_onehots(cur_tile)
-        for a in range(4):
-            ga = gamma[0] * oh_xc[a]
-            for b_ in range(4):
-                em_buf[25 + a * 4 + b_] = (
-                    em_buf[25 + a * 4 + b_] + ga * oh_yc[b_]
-                )
-        for di, s in enumerate((1, 3)):
+        if emit_em:
+            oh_xc, oh_yc = _unpack_onehots(cur_tile)
             for a in range(4):
-                em_buf[41 + di * 4 + a] = (
-                    em_buf[41 + di * 4 + a] + gamma[s] * oh_xc[a]
-                )
-        for di, s in enumerate((2, 4)):
-            for a in range(4):
-                em_buf[49 + di * 4 + a] = (
-                    em_buf[49 + di * 4 + a] + gamma[s] * oh_yc[a]
-                )
+                ga = gamma[0] * oh_xc[a]
+                for b_ in range(4):
+                    em_buf[25 + a * 4 + b_] = (
+                        em_buf[25 + a * 4 + b_] + ga * oh_yc[b_]
+                    )
+            for di, s in enumerate((1, 3)):
+                for a in range(4):
+                    em_buf[41 + di * 4 + a] = (
+                        em_buf[41 + di * 4 + a] + gamma[s] * oh_xc[a]
+                    )
+            for di, s in enumerate((2, 4)):
+                for a in range(4):
+                    em_buf[49 + di * 4 + a] = (
+                        em_buf[49 + di * 4 + a] + gamma[s] * oh_yc[a]
+                    )
 
         # ---- fused reverse MEA ----
         diag_t = lane_shift(u2 + gm2 - mg, -d2n2, -1, 1, NEG)
@@ -581,6 +596,12 @@ def _realign_kernel(
                 dirs_hbm.at[pl.ds(bt * (k_pad + 1) + 1, SEG)],
                 out_sems.at[slot],
             ).wait()
+            if emit_gamma:
+                pltpu.make_async_copy(
+                    gm_buf.at[pl.ds(slot * SEG, SEG)],
+                    gm_hbm.at[pl.ds(bt * (k_pad + 1) + 1, SEG)],
+                    gm_sems.at[slot],
+                ).wait()
 
         # ---- 1. rematerialise the segment's forward states ----
         a = [bndbuf[slot, st] for st in range(5)]
@@ -656,10 +677,14 @@ def _realign_kernel(
             @pl.when(slot == 0)
             def _store0(choice=choice, kl=kl):
                 dirs_buf[kl] = choice
+                if emit_gamma:
+                    gm_buf[kl] = carry[6]
 
             @pl.when(slot == 1)
             def _store1(choice=choice, kl=kl):
                 dirs_buf[SEG + kl] = choice
+                if emit_gamma:
+                    gm_buf[SEG + kl] = carry[6]
 
         for st in range(NUM_STATES):
             bwd1[st] = carry[0][st]
@@ -677,6 +702,12 @@ def _realign_kernel(
             dirs_hbm.at[pl.ds(bt * (k_pad + 1) + k0 + 1, SEG)],
             out_sems.at[slot],
         ).start()
+        if emit_gamma:
+            pltpu.make_async_copy(
+                gm_buf.at[pl.ds(slot * SEG, SEG)],
+                gm_hbm.at[pl.ds(bt * (k_pad + 1) + k0 + 1, SEG)],
+                gm_sems.at[slot],
+            ).start()
         return 0
 
     lax.fori_loop(0, S, seg_body, 0)
@@ -688,6 +719,12 @@ def _realign_kernel(
             dirs_hbm.at[pl.ds(bt * (k_pad + 1) + 1, SEG)],
             out_sems.at[slot],
         ).wait()
+        if emit_gamma:
+            pltpu.make_async_copy(
+                gm_buf.at[pl.ds(slot * SEG, SEG)],
+                gm_hbm.at[pl.ds(bt * (k_pad + 1) + 1, SEG)],
+                gm_sems.at[slot],
+            ).wait()
 
     # ---- final step: diagonal 0 (forward state = start tile) ----
     # segment 0 ran in slot 0: bufc[0]/bufc[1] still hold the diag-1/2
@@ -723,25 +760,60 @@ def _realign_kernel(
     )
     cp0.start()
     cp0.wait()
+    if emit_gamma:
+        gm_buf[0] = carry[6]
+        gp0 = pltpu.make_async_copy(
+            gm_buf.at[pl.ds(0, 1)],
+            gm_hbm.at[pl.ds(bt * (k_pad + 1), 1)],
+            gm_sems.at[0],
+        )
+        gp0.start()
+        gp0.wait()
 
     # ---- reduce EM accumulators over the band ----
-    trans_rows = [
-        tf_ref[i] * jnp.sum(em_buf[i], axis=0, keepdims=True)
-        for i in range(25)
-    ]
-    trans_ref[:, :] = jnp.concatenate(trans_rows, axis=0)
-    e16_ref[:, :] = jnp.concatenate(
-        [jnp.sum(em_buf[25 + i], axis=0, keepdims=True) for i in range(16)],
-        axis=0,
-    )
-    edel_ref[:, :] = jnp.concatenate(
-        [jnp.sum(em_buf[41 + i], axis=0, keepdims=True) for i in range(8)],
-        axis=0,
-    )
-    eins_ref[:, :] = jnp.concatenate(
-        [jnp.sum(em_buf[49 + i], axis=0, keepdims=True) for i in range(8)],
-        axis=0,
-    )
+    if emit_em:
+        trans_rows = [
+            tf_ref[i] * jnp.sum(em_buf[i], axis=0, keepdims=True)
+            for i in range(25)
+        ]
+        trans_ref[:, :] = jnp.concatenate(trans_rows, axis=0)
+        e16_ref[:, :] = jnp.concatenate(
+            [
+                jnp.sum(em_buf[25 + i], axis=0, keepdims=True)
+                for i in range(16)
+            ],
+            axis=0,
+        )
+        edel_ref[:, :] = jnp.concatenate(
+            [
+                jnp.sum(em_buf[41 + i], axis=0, keepdims=True)
+                for i in range(8)
+            ],
+            axis=0,
+        )
+        eins_ref[:, :] = jnp.concatenate(
+            [
+                jnp.sum(em_buf[49 + i], axis=0, keepdims=True)
+                for i in range(8)
+            ],
+            axis=0,
+        )
+    else:
+        trans_ref[:, :] = jnp.zeros((1, BT), jnp.float32)
+        e16_ref[:, :] = jnp.zeros((1, BT), jnp.float32)
+        edel_ref[:, :] = jnp.zeros((1, BT), jnp.float32)
+        eins_ref[:, :] = jnp.zeros((1, BT), jnp.float32)
+
+
+@jax.jit
+def _yc_from_xyc(xyc):
+    """Recover the (B_pad, k_pad+1, W) read-code band y[i-1] from the
+    packed code stream on device (row r of xyc = diagonal r+1; bits 0-2
+    carry the y code; diagonal 0 is all-sentinel)."""
+    NB, k_pad, W, BT = xyc.shape
+    yc_b = jnp.transpose(xyc & 7, (0, 3, 1, 2)).reshape(NB * BT, k_pad, W)
+    sent = jnp.full((NB * BT, 1, W), 5, jnp.int8)
+    return jnp.concatenate([sent, yc_b], axis=1)
 
 
 def _param_scalars(params: KernelParams):
@@ -841,14 +913,20 @@ def prepare_pallas_realign(batch: BandedBatch, params: KernelParams) -> dict:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_pad", "NB", "W", "interpret"),
+    static_argnames=(
+        "k_pad", "NB", "W", "interpret", "emit_gamma", "emit_em",
+    ),
 )
 def _pallas_realign_call(
     tf, emf, egf, ggmg, kend, xyc,
-    k_pad, NB, W, interpret=False,
+    k_pad, NB, W, interpret=False, emit_gamma=False, emit_em=True,
 ):
     S = k_pad // SEG
-    kernel = functools.partial(_realign_kernel, k_pad=k_pad, W=W)
+    kernel = functools.partial(
+        _realign_kernel, k_pad=k_pad, W=W, emit_gamma=emit_gamma,
+        emit_em=emit_em,
+    )
+    em_rows = (25, 16, 8, 8) if emit_em else (1, 1, 1, 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(NB,),
@@ -869,24 +947,25 @@ def _pallas_realign_call(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, 25, BT), lambda b, *_: (b, 0, 0),
+                (None, em_rows[0], BT), lambda b, *_: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, 16, BT), lambda b, *_: (b, 0, 0),
+                (None, em_rows[1], BT), lambda b, *_: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, 8, BT), lambda b, *_: (b, 0, 0),
+                (None, em_rows[2], BT), lambda b, *_: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, 8, BT), lambda b, *_: (b, 0, 0),
+                (None, em_rows[3], BT), lambda b, *_: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),  # dirs
             pl.BlockSpec(memory_space=pl.ANY),  # bnd
             pl.BlockSpec(memory_space=pl.ANY),  # bscal
+            pl.BlockSpec(memory_space=pl.ANY),  # gm (dummy when off)
         ],
         scratch_shapes=[
             pltpu.VMEM((2 * CHUNK, W, BT), jnp.int8),  # bufA
@@ -904,25 +983,36 @@ def _pallas_realign_call(
             pltpu.VMEM((5, W, BT), jnp.float32),  # sB
             pltpu.VMEM((5, W, BT), jnp.float32),  # bwd1
             pltpu.VMEM((5, W, BT), jnp.float32),  # bwd2
-            pltpu.VMEM((57, W, BT), jnp.float32),  # em_buf
+            pltpu.VMEM(
+                (57, W, BT) if emit_em else (1, 1, 1), jnp.float32
+            ),  # em_buf
             pltpu.VMEM((6, W, BT), jnp.float32),  # mea_buf
             pltpu.VMEM((8, 1, BT), jnp.float32),  # scal
             pltpu.VMEM((2 * SEG, W, BT), jnp.int8),  # dirs_buf
             pltpu.SemaphoreType.DMA((3, 2)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM(
+                (2 * SEG, W, BT) if emit_gamma else (1, 1, 1),
+                jnp.float32,
+            ),  # gm_buf
+            pltpu.SemaphoreType.DMA((2,)),  # gm_sems
         ],
     )
     out_shapes = [
         jax.ShapeDtypeStruct((NB, 1, BT), jnp.float32),  # loglik
         jax.ShapeDtypeStruct((NB, 1, BT), jnp.float32),  # score
-        jax.ShapeDtypeStruct((NB, 25, BT), jnp.float32),  # trans
-        jax.ShapeDtypeStruct((NB, 16, BT), jnp.float32),  # e16
-        jax.ShapeDtypeStruct((NB, 8, BT), jnp.float32),  # edel
-        jax.ShapeDtypeStruct((NB, 8, BT), jnp.float32),  # eins
+        jax.ShapeDtypeStruct((NB, em_rows[0], BT), jnp.float32),  # trans
+        jax.ShapeDtypeStruct((NB, em_rows[1], BT), jnp.float32),  # e16
+        jax.ShapeDtypeStruct((NB, em_rows[2], BT), jnp.float32),  # edel
+        jax.ShapeDtypeStruct((NB, em_rows[3], BT), jnp.float32),  # eins
         jax.ShapeDtypeStruct((NB * (k_pad + 1), W, BT), jnp.int8),  # dirs
         jax.ShapeDtypeStruct((NB * S * 10, W, BT), jnp.float32),  # bnd
         jax.ShapeDtypeStruct((NB * S, 8, 1, BT), jnp.float32),  # bscal
+        jax.ShapeDtypeStruct(
+            (NB * (k_pad + 1), W, BT) if emit_gamma else (1, 1, 1),
+            jnp.float32,
+        ),  # gm
     ]
     outs = pl.pallas_call(
         kernel,
@@ -931,35 +1021,47 @@ def _pallas_realign_call(
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(tf, emf, egf, ggmg, kend, xyc)
-    loglik, score, trans, e16, edel, eins, dirs, _, _ = outs
+    loglik, score, trans, e16, edel, eins, dirs, _, _, gm = outs
 
     def lanes(x):  # (NB, R, BT) -> (NB*BT, R)
         return jnp.transpose(x, (0, 2, 1)).reshape(x.shape[0] * BT, -1)
 
-    trans_b = lanes(trans).reshape(-1, 5, 5)
-    e16_b = lanes(e16)
-    edel_b = lanes(edel)
-    eins_b = lanes(eins)
-    emis = jnp.zeros((e16_b.shape[0], 5, 16), jnp.float32)
-    emis = emis.at[:, 0, :].set(e16_b)
-    emis = emis.at[:, 1, :].set(
-        jnp.repeat(edel_b[:, 0:4] / 4.0, 4, axis=1)
-    )
-    emis = emis.at[:, 3, :].set(
-        jnp.repeat(edel_b[:, 4:8] / 4.0, 4, axis=1)
-    )
-    emis = emis.at[:, 2, :].set(jnp.tile(eins_b[:, 0:4] / 4.0, (1, 4)))
-    emis = emis.at[:, 4, :].set(jnp.tile(eins_b[:, 4:8] / 4.0, (1, 4)))
     dirs_b = jnp.transpose(
         dirs.reshape(NB, k_pad + 1, W, BT), (0, 3, 1, 2)
     ).reshape(-1, k_pad + 1, W)
-    return {
-        "loglik": lanes(loglik)[:, 0],
-        "score": lanes(score)[:, 0],
-        "trans": trans_b,
-        "emis": emis,
+    ll = lanes(loglik)[:, 0]
+    sc = lanes(score)[:, 0]
+    out = {
+        "loglik": ll,
+        "score": sc,
+        # one (2, B) array so callers timing/consuming both scalars pay
+        # a single device->host round trip (the remote runtime charges
+        # ~23 ms per pull)
+        "ll_score": jnp.stack([ll, sc]),
         "dirs": dirs_b,
     }
+    if emit_em:
+        trans_b = lanes(trans).reshape(-1, 5, 5)
+        e16_b = lanes(e16)
+        edel_b = lanes(edel)
+        eins_b = lanes(eins)
+        emis = jnp.zeros((e16_b.shape[0], 5, 16), jnp.float32)
+        emis = emis.at[:, 0, :].set(e16_b)
+        emis = emis.at[:, 1, :].set(
+            jnp.repeat(edel_b[:, 0:4] / 4.0, 4, axis=1)
+        )
+        emis = emis.at[:, 3, :].set(
+            jnp.repeat(edel_b[:, 4:8] / 4.0, 4, axis=1)
+        )
+        emis = emis.at[:, 2, :].set(jnp.tile(eins_b[:, 0:4] / 4.0, (1, 4)))
+        emis = emis.at[:, 4, :].set(jnp.tile(eins_b[:, 4:8] / 4.0, (1, 4)))
+        out["trans"] = trans_b
+        out["emis"] = emis
+    if emit_gamma:
+        out["gamma_match"] = jnp.transpose(
+            gm.reshape(NB, k_pad + 1, W, BT), (0, 3, 1, 2)
+        ).reshape(-1, k_pad + 1, W)
+    return out
 
 
 class PallasRealignPlan:
@@ -976,14 +1078,25 @@ class PallasRealignPlan:
         params: KernelParams,
         gap_gamma: float = 0.5,
         match_gamma: float = 0.0,
+        emit_gamma: bool = False,
+        device=None,
+        emit_em: bool = True,
     ):
         prep = prepare_pallas_realign(batch, params)
+        self.emit_gamma = emit_gamma
+        self.emit_em = emit_em
+        self.device = device
+        put = (
+            jnp.asarray
+            if device is None
+            else (lambda a: jax.device_put(a, device))
+        )
         self.arrays = tuple(
-            jnp.asarray(prep[k]) for k in ("tf", "emf", "egf")
+            put(prep[k]) for k in ("tf", "emf", "egf")
         ) + (
-            jnp.asarray(np.array([gap_gamma, match_gamma], np.float32)),
-            jnp.asarray(prep["kend"]),
-            jnp.asarray(prep["xyc"]),
+            put(np.array([gap_gamma, match_gamma], np.float32)),
+            put(prep["kend"]),
+            put(prep["xyc"]),
         )
         self.k_pad = prep["k_pad"]
         self.B = prep["B"]
@@ -991,27 +1104,42 @@ class PallasRealignPlan:
         self.NB = prep["NB"]
         self.W = prep["W"]
 
+    def yc_band(self) -> jax.Array:
+        """Device (B, K+1, W) read codes y[i-1] at the band cells —
+        derived from the packed stream already in HBM, so posterior
+        consumers (ops.posteriors) need no second band upload."""
+        return _yc_from_xyc(self.arrays[5])[: self.B, : self.K + 1]
+
     def update_params(self, params: KernelParams) -> None:
         """Swap the model scalars (EM M-step) without re-packing or
         re-uploading the code tensors — the expensive host side of the
         plan is params-independent."""
         tf, emf, egf = _param_scalars(params)
-        self.arrays = (
-            jnp.asarray(tf), jnp.asarray(emf), jnp.asarray(egf),
-        ) + self.arrays[3:]
+        put = (
+            jnp.asarray
+            if self.device is None
+            else (lambda a: jax.device_put(a, self.device))
+        )
+        self.arrays = (put(tf), put(emf), put(egf)) + self.arrays[3:]
 
     def run(self, interpret: bool = False) -> dict:
         out = _pallas_realign_call(
-            *self.arrays, self.k_pad, self.NB, self.W, interpret
+            *self.arrays, self.k_pad, self.NB, self.W, interpret,
+            self.emit_gamma, self.emit_em,
         )
         B, K = self.B, self.K
-        return {
+        res = {
             "loglik": out["loglik"][:B],
             "score": out["score"][:B],
-            "trans": out["trans"][:B],
-            "emis": out["emis"][:B],
+            "ll_score": out["ll_score"][:, :B],
             "dirs": out["dirs"][:B, : K + 1],
         }
+        if self.emit_em:
+            res["trans"] = out["trans"][:B]
+            res["emis"] = out["emis"][:B]
+        if self.emit_gamma:
+            res["gamma_match"] = out["gamma_match"][:B, : K + 1]
+        return res
 
 
 def pallas_realign_fused(
@@ -1020,6 +1148,7 @@ def pallas_realign_fused(
     gap_gamma: float = 0.5,
     match_gamma: float = 0.0,
     interpret: bool = False,
+    emit_gamma: bool = False,
 ) -> dict:
     """Fused realign via the Pallas kernel: loglik/trans/emis/score/dirs.
 
@@ -1030,5 +1159,5 @@ def pallas_realign_fused(
     repeatedly on one batch.
     """
     return PallasRealignPlan(
-        batch, params, gap_gamma, match_gamma
+        batch, params, gap_gamma, match_gamma, emit_gamma
     ).run(interpret)

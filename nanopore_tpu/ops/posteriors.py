@@ -1,0 +1,212 @@
+"""Device-side consumers of posterior match-probability bands.
+
+The reference exposes pair-HMM posteriors through three cactus_realign
+flags (reference /root/reference/nanopore/analyses/utils.py:587,
+analyses/alignmentUncertainty.py:41-42,
+analyses/marginAlignSnpCaller.py:136-146):
+
+* ``--rescoreByPosteriorProbIgnoringGaps`` — average posterior match
+  probability over a cigar's aligned pairs (AlignmentUncertainty);
+* ``--outputAllPosteriorProbs`` — every (readPos, refPos, prob) triple,
+  which the SNP caller reduces to per-reference-position expected base
+  counts (marginAlignSnpCaller.py:149-155).
+
+Both are served here as reductions over the (B, K+1, W) gamma_match
+band WITHOUT downloading it: the band stays on device (it is either
+streamed out of the fused Pallas kernel, ops/pairhmm_pallas_realign
+``emit_gamma``, or produced by the XLA forward_backward), and only tiny
+reduction outputs cross to the host —
+
+* rescore: a one-hot band contraction per diagonal (never a gather,
+  CLAUDE.md perf rule 2) summed over the path cells → (B,) totals;
+* expectations: a band-following accumulator scanned over diagonals
+  that RETIRES one reference position per band shift (the band is
+  Lipschitz-1, so each shift permanently finalises the column leaving
+  the band) → a (B, K+1, 4) retired stream plus a (B, 4, W) final
+  flush, which the host scatters into the per-position expectation
+  matrix with plain monotone indexing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from nanopore_tpu.io.sam import CIG
+
+
+def path_band_indices(
+    cigar: list[tuple[int, int]],
+    offsets: np.ndarray,
+    band_width: int,
+) -> tuple[np.ndarray, int]:
+    """Band index of each aligned pair's lattice cell, per diagonal.
+
+    Returns (pb (K+1,) int32 with -1 where the cigar has no aligned
+    pair on that diagonal or the pair is off-band, count) where count
+    is the TOTAL number of aligned pairs (off-band pairs contribute 0
+    posterior but still count — rescore_by_posterior semantics).
+    """
+    offsets = np.asarray(offsets)
+    K1 = offsets.shape[0]
+    pb = np.full(K1, -1, np.int32)
+    i = j = 0
+    count = 0
+    for op, length in cigar:
+        if op in (CIG.M, CIG.EQ, CIG.X):
+            ii = i + np.arange(1, length + 1)
+            jj = j + np.arange(1, length + 1)
+            kk = ii + jj
+            bb = jj - offsets[kk]
+            inb = (bb >= 0) & (bb < band_width)
+            pb[kk[inb]] = bb[inb]
+            count += length
+            i += length
+            j += length
+        elif op == CIG.I:
+            i += length
+        elif op in (CIG.D, CIG.N):
+            j += length
+    return pb, count
+
+
+@jax.jit
+def _rescore_totals_jit(gm, pb):
+    """(B, K1, W) gamma x (B, K1) band indices -> (B,) posterior sums."""
+    W = gm.shape[-1]
+    lanes = jnp.arange(W, dtype=jnp.int32)
+    oh = lanes[None, None, :] == pb[:, :, None]
+    return jnp.sum(jnp.where(oh, gm, 0.0), axis=(1, 2))
+
+
+def rescore_cigars(
+    gm, offsets: np.ndarray, cigars: list[list[tuple[int, int]]],
+    band_width: int,
+) -> list[float]:
+    """Batched --rescoreByPosteriorProbIgnoringGaps over device bands.
+
+    ``gm`` may (should) live on device; only (B,) floats cross to the
+    host.  Semantics pinned to ops.mea.rescore_by_posterior.
+    """
+    offsets = np.asarray(offsets)
+    K1 = min(offsets.shape[1], int(np.asarray(gm.shape)[1]))
+    pbs, counts = [], []
+    for b, cig in enumerate(cigars):
+        pb, count = path_band_indices(cig, offsets[b], band_width)
+        pbs.append(pb[:K1])
+        counts.append(count)
+    totals = np.asarray(
+        _rescore_totals_jit(
+            jnp.asarray(gm)[:, :K1], jnp.asarray(np.stack(pbs))
+        )
+    )
+    return [
+        float(t) / c if c else float("nan")
+        for t, c in zip(totals, counts)
+    ]
+
+
+@functools.partial(jax.jit, static_argnames=("threshold",))
+def _expectation_streams_jit(gm, yc, d1, threshold):
+    """Band-following expectation accumulator.
+
+    gm (B, K1, W) f32, yc (B, K1, W) int8 read codes y[i-1] at the band
+    cells, d1 (B, K1) int32 band offset deltas (d1[k] = o[k] - o[k-1],
+    d1[0] = 0).  Returns (retired (B, K1, 4), flush (B, 4, W)): at every
+    step with d1 == 1 the column leaving the band is emitted — it holds
+    the finished expectation vector of reference position o[k] - 2 —
+    and after the last diagonal the surviving W columns hold positions
+    o[K] - 1 .. o[K] + W - 2.
+    """
+    from nanopore_tpu.ops.pairhmm import SCAN_UNROLL
+
+    B, K1, W = gm.shape
+
+    def one_read(gm_r, yc_r, d1_r):
+        def step(acc, xs):
+            gm_k, yc_k, d1_k = xs
+            retired = acc[:, 0] * d1_k.astype(jnp.float32)
+            shifted = jnp.concatenate(
+                [acc[:, 1:], jnp.zeros((4, 1), jnp.float32)], axis=1
+            )
+            acc = jnp.where(d1_k > 0, shifted, acc)
+            gmz = jnp.where(gm_k > threshold, gm_k, 0.0)
+            yc32 = yc_k.astype(jnp.int32)
+            contrib = jnp.stack(
+                [jnp.where(yc32 == base, gmz, 0.0) for base in range(4)]
+            )
+            return acc + contrib, retired
+
+        acc0 = jnp.zeros((4, W), jnp.float32)
+        acc, retired = lax.scan(
+            step, acc0, (gm_r, yc_r, d1_r), unroll=SCAN_UNROLL
+        )
+        return retired, acc
+
+    return jax.vmap(one_read)(gm, yc, d1)
+
+
+def expectation_streams(gm, yc, offsets: np.ndarray, threshold: float = 1e-3):
+    """Run the device accumulator.  offsets is the HOST (B, K1) array."""
+    offsets = np.asarray(offsets)
+    K1 = int(np.asarray(gm.shape)[1])
+    d1 = np.zeros((offsets.shape[0], K1), np.int32)
+    d1[:, 1:] = offsets[:, 1:K1] - offsets[:, : K1 - 1]
+    retired, flush = _expectation_streams_jit(
+        jnp.asarray(gm), jnp.asarray(yc), jnp.asarray(d1), float(threshold)
+    )
+    return np.asarray(retired), np.asarray(flush), d1
+
+
+def accumulate_expectations(
+    expectations: np.ndarray,  # (P, 4) accumulated in place
+    retired: np.ndarray,  # (K1, 4) one read's retired stream
+    flush: np.ndarray,  # (4, W) its final band columns
+    offsets: np.ndarray,  # (K1,) its band offsets
+    d1: np.ndarray,  # (K1,) its offset deltas
+    n: int,  # its reference window length
+    goff: int = 0,  # global offset of the window in `expectations`
+) -> None:
+    """Scatter one read's streams into the per-position matrix.
+
+    Each retired entry / flush column belongs to a DISTINCT reference
+    position (the band retires each column exactly once), so plain
+    advanced indexing adds suffice — no np.add.at.
+    """
+    K1 = retired.shape[0]
+    offsets = np.asarray(offsets)[:K1]
+    ks = np.nonzero(d1[:K1] == 1)[0]
+    pos = offsets[ks] - 2
+    ok = (pos >= 0) & (pos < n)
+    expectations[goff + pos[ok]] += retired[ks[ok]]
+    W = flush.shape[1]
+    fpos = offsets[K1 - 1] - 1 + np.arange(W)
+    fok = (fpos >= 0) & (fpos < n)
+    expectations[goff + fpos[fok]] += flush[:, fok].T
+
+
+def posterior_expectations_batch(
+    gm, yc, offsets: np.ndarray, ns: np.ndarray,
+    threshold: float = 1e-3,
+) -> list[np.ndarray]:
+    """Per-read (n, 4) expected base-count matrices from device bands.
+
+    The batched equivalent of running extract_posterior_pairs per read
+    and accumulating prob into (refPos, readBase) — the SNP caller's
+    posterior expectation update (marginAlignSnpCaller.py:149-155) —
+    with only the (B, K1, 4) retired stream crossing to the host.
+    """
+    retired, flush, d1 = expectation_streams(gm, yc, offsets, threshold)
+    out = []
+    for b in range(retired.shape[0]):
+        n = int(ns[b])
+        e = np.zeros((n, 4))
+        accumulate_expectations(
+            e, retired[b], flush[b], offsets[b], d1[b], n
+        )
+        out.append(e)
+    return out

@@ -7,6 +7,14 @@ over ``trial`` (random restarts train concurrently — the reference runs
 them as separate jobTree processes, utils.py:514).  The M-step is tiny
 replicated arithmetic.
 
+On TPU the E-step runs the fused Pallas realign kernel inside a
+``shard_map`` (make_sharded_em_step_pallas): the packed code tensors
+are dp-sharded ONCE and stay device-resident for the whole training
+run, model parameters are runtime SMEM scalars swapped per iteration/
+trial, and the expectation tensors psum over ICI — pod-scale EM runs at
+the same cells/s as the single-chip kernel.  Off-TPU (CPU meshes, odd
+band widths) the XLA rematerialised E-step serves instead.
+
 This is the training step that ``__graft_entry__.dryrun_multichip``
 compiles over a virtual mesh, and that pod-scale EM uses on real slices.
 """
@@ -18,6 +26,8 @@ import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
+from jax import shard_map
 
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -135,6 +145,147 @@ def make_sharded_em_step(mesh, band_width: int, pseudocount: float = 1e-6):
     return step
 
 
+def make_sharded_em_step_pallas(
+    mesh,
+    batch: BandedBatch,
+    weights: np.ndarray,
+    pseudocount: float = 1e-6,
+    interpret: bool = False,
+):
+    """EM step whose E-step is the fused Pallas kernel under shard_map.
+
+    The kernel-packed code tensors (ops.pairhmm_pallas_realign) are
+    built once here, padded so their batch-tile axis divides the dp
+    axis, and sharded P(dp) — every iteration then reuses them; only
+    the per-trial scalar tables (25+36+30 floats) travel per step.
+    Per-trial expectation sums psum over dp; the M-step is replicated
+    per trial column.  Returns step((t (T,5,5), e (T,5,16)), _ignored)
+    -> (new_t, new_e, loglik (T,)) matching make_sharded_em_step.
+    """
+    from nanopore_tpu.ops.pairhmm_pallas_realign import (
+        BT,
+        _pallas_realign_call,
+        _param_scalars,
+        prepare_pallas_realign,
+    )
+
+    dp = mesh.shape[DP_AXIS]
+    tr = mesh.shape[TRIAL_AXIS]
+    dummy = kernel_tables(
+        jnp.asarray(np.full((5, 5), 0.2, np.float32)),
+        jnp.asarray(np.full((5, 16), 1 / 16, np.float32)),
+    )
+    prep = prepare_pallas_realign(batch, dummy)
+    xyc, kend = prep["xyc"], prep["kend"]
+    NB, k_pad, W = prep["NB"], prep["k_pad"], prep["W"]
+    # pad the batch-tile axis so it divides dp (sentinel tiles with
+    # kend=-1 contribute exactly zero expectations and loglik)
+    nb_pad = (-NB) % dp
+    if nb_pad:
+        sent = np.full((nb_pad,) + xyc.shape[1:], (5 << 3) | 5, np.int8)
+        xyc = np.concatenate([np.asarray(xyc), sent])
+        kend = np.concatenate(
+            [np.asarray(kend), np.full((nb_pad, 1, BT), -1, np.int32)]
+        )
+        NB += nb_pad
+    w = np.zeros((NB, 1, BT), np.float32)
+    w.reshape(-1)[: len(weights)] = np.asarray(weights, np.float32)
+    NB_local = NB // dp
+    ggmg = np.array([0.5, 0.0], np.float32)
+
+    multiproc = jax.process_count() > 1
+
+    def put(arr, spec):
+        sharding = NamedSharding(mesh, spec)
+        arr = np.asarray(arr)
+        if multiproc:
+            return jax.make_array_from_callback(
+                arr.shape, sharding, lambda idx: arr[idx]
+            )
+        return jax.device_put(arr, sharding)
+
+    xyc_d = put(xyc, P(DP_AXIS))
+    kend_d = put(kend, P(DP_AXIS))
+    w_d = put(w, P(DP_AXIS))
+    ggmg_d = put(ggmg, P())
+
+    def _body(tf, emf, egf, tstack, kend_l, xyc_l, w_l, ggmg_l):
+        T_local = tf.shape[0]
+        outs_t, outs_e, outs_ll = [], [], []
+        for j in range(T_local):
+            out = _pallas_realign_call(
+                tf[j], emf[j], egf[j], ggmg_l, kend_l, xyc_l,
+                k_pad, NB_local, W, interpret,
+            )
+            wl = w_l.reshape(-1)
+            trans = (out["trans"] * wl[:, None, None]).sum(axis=0)
+            emis = (out["emis"] * wl[:, None, None]).sum(axis=0)
+            ll = (out["loglik"] * wl).sum()
+            trans = lax.psum(trans, DP_AXIS)
+            emis = lax.psum(emis, DP_AXIS)
+            ll = lax.psum(ll, DP_AXIS)
+            structure = (tstack[j] > 0).astype(trans.dtype)
+            new_t = trans * structure + pseudocount * structure
+            new_t = new_t / jnp.maximum(
+                new_t.sum(axis=1, keepdims=True), 1e-30
+            )
+            new_e = emis + pseudocount
+            new_e = new_e / jnp.maximum(
+                new_e.sum(axis=1, keepdims=True), 1e-30
+            )
+            outs_t.append(new_t)
+            outs_e.append(new_e)
+            outs_ll.append(ll)
+        return (
+            jnp.stack(outs_t),
+            jnp.stack(outs_e),
+            jnp.stack(outs_ll),
+        )
+
+    sharded = shard_map(
+        _body,
+        mesh=mesh,
+        in_specs=(
+            P(TRIAL_AXIS), P(TRIAL_AXIS), P(TRIAL_AXIS), P(TRIAL_AXIS),
+            P(DP_AXIS), P(DP_AXIS), P(DP_AXIS), P(),
+        ),
+        out_specs=(P(TRIAL_AXIS), P(TRIAL_AXIS), P(TRIAL_AXIS)),
+        check_vma=False,
+    )
+
+    def step(trial_models, _arrays_ignored=None):
+        t, e = trial_models
+        T = t.shape[0]
+        assert T % tr == 0, "trials must divide the trial mesh axis"
+        scal = [
+            _param_scalars(
+                kernel_tables(
+                    jnp.asarray(t[j], jnp.float32),
+                    jnp.asarray(e[j], jnp.float32),
+                )
+            )
+            for j in range(T)
+        ]
+        tf = put(np.stack([s[0] for s in scal]), P(TRIAL_AXIS))
+        emf = put(np.stack([s[1] for s in scal]), P(TRIAL_AXIS))
+        egf = put(np.stack([s[2] for s in scal]), P(TRIAL_AXIS))
+        ts = put(np.asarray(t, np.float32), P(TRIAL_AXIS))
+        out = sharded(tf, emf, egf, ts, kend_d, xyc_d, w_d, ggmg_d)
+        if multiproc:
+            from jax.experimental import multihost_utils
+
+            shapes = [o.shape for o in out]
+            out = tuple(
+                np.asarray(
+                    multihost_utils.process_allgather(o, tiled=True)
+                ).reshape(shape)
+                for o, shape in zip(out, shapes)
+            )
+        return out
+
+    return step
+
+
 def sharded_em_train(
     batch: BandedBatch,
     mesh,
@@ -174,7 +325,16 @@ def sharded_em_train(
         if weights is None
         else np.asarray(weights, np.float32)
     )
-    step = make_sharded_em_step(mesh, batch.band_width, pseudocount)
+    from nanopore_tpu.ops.dispatch import kernel_choice, pallas_eligible
+
+    if (
+        kernel_choice() == "pallas"
+        and pallas_eligible(batch)
+        and trials % mesh.shape[TRIAL_AXIS] == 0
+    ):
+        step = make_sharded_em_step_pallas(mesh, batch, w, pseudocount)
+    else:
+        step = make_sharded_em_step(mesh, batch.band_width, pseudocount)
     arrays = (
         batch.xc, batch.yc, batch.xn, batch.yn, batch.offsets, batch.m,
         batch.n, batch.k_end, w,

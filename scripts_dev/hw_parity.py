@@ -1,0 +1,171 @@
+"""Hardware parity artifact: kernels vs the C++ oracle -> PARITY_HW.json.
+
+Consolidates the round-2 accuracy/dirs probes into one recorded check
+(VERDICT r2 #6): on the real chip, run the XLA fused realign and the
+Pallas fused realign on the same batch, compare both against the
+single-core C++ double-log-scale oracle
+(runtime/native/pairhmm_cpu.cpp), census the Pallas-vs-XLA dirs
+disagreements and verify every one is a harmless argmax tie
+(byte-identical traceback cigars), and check the streamed gamma_match
+band against the XLA forward_backward posterior.  Writes PARITY_HW.json
+at the repo root — commit it each round.
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts_dev/hw_parity.py
+  PROBE_B=64 PROBE_L=5000 PROBE_GAMMA=1 (defaults)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from nanopore_tpu.align.model import PairHmmModel  # noqa: E402
+from nanopore_tpu.io.sam import CIG  # noqa: E402
+from nanopore_tpu.ops.pairhmm import (  # noqa: E402
+    make_kernel_params,
+    prepare_banded_batch,
+)
+from nanopore_tpu.ops.mea import realign_fused, mea_traceback_fwd  # noqa
+from nanopore_tpu.runtime.native_pairhmm import cpu_realign_batch  # noqa
+
+
+def rel(a, b):
+    a = np.asarray(a, np.float64).reshape(-1)
+    b = np.asarray(b, np.float64).reshape(-1)
+    return float(np.max(np.abs(a - b) / np.maximum(np.abs(b), 1e-3)))
+
+
+def main():
+    B = int(os.environ.get("PROBE_B", "64"))
+    L = int(os.environ.get("PROBE_L", "5000"))
+    W = 64
+    gamma_check = os.environ.get("PROBE_GAMMA", "1") == "1"
+    gamma_b = min(B, 8)  # bound the gamma band download
+    print("devices:", jax.devices(), "B=%d L=%d" % (B, L), flush=True)
+    rng = np.random.default_rng(0)
+    model = PairHmmModel.load("nanopore_tpu/models/blasr_hmm_0.txt")
+    params = make_kernel_params(model)
+    pairs = []
+    for _ in range(B):
+        x = rng.integers(0, 4, L).astype(np.int8)
+        y = x.copy()
+        idx = rng.integers(0, L, L // 10)
+        y[idx] = (y[idx] + 1) % 4
+        pairs.append((x, y, [(CIG.M, L)]))
+    batch = prepare_banded_batch(pairs, band_width=W, k_max=2 * L)
+    offsets = np.asarray(batch.offsets)
+    K1 = offsets.shape[1]
+
+    result = {
+        "batch": B,
+        "read_length": L,
+        "band_width": W,
+        "device": str(jax.devices()[0]),
+        "date": time.strftime("%Y-%m-%d"),
+    }
+
+    t0 = time.time()
+    oracle = cpu_realign_batch(batch, params, 0.5, 0.0)
+    print("oracle %.0fs" % (time.time() - t0), flush=True)
+
+    outs = {}
+    t0 = time.time()
+    outs["xla"] = {
+        k: np.asarray(v) for k, v in realign_fused(batch, params).items()
+    }
+    print("xla %.0fs" % (time.time() - t0), flush=True)
+
+    from nanopore_tpu.ops.pairhmm_pallas_realign import PallasRealignPlan
+
+    t0 = time.time()
+    plan = PallasRealignPlan(batch, params, emit_gamma=gamma_check)
+    outs["pallas"] = {
+        k: np.asarray(v)
+        for k, v in plan.run(
+            interpret=os.environ.get("BIS_INTERPRET") == "1"
+        ).items()
+    }
+    print("pallas %.0fs" % (time.time() - t0), flush=True)
+
+    for name, out in outs.items():
+        result[name] = {
+            "loglik_rel": rel(out["loglik"], oracle["loglik"]),
+            "score_rel": rel(out["score"], oracle["score"]),
+            "trans_rel": rel(out["trans"].reshape(B, 25), oracle["trans"]),
+        }
+        print(name, result[name], flush=True)
+
+    # dirs census: every Pallas-vs-XLA disagreement must be an argmax
+    # tie — the traceback cigars must be byte-identical
+    dirs_p = outs["pallas"]["dirs"][:, :K1]
+    dirs_x = outs["xla"]["dirs"]
+    n_diff = int((dirs_p != dirs_x).sum())
+    cigar_equal = 0
+    for b in range(B):
+        m, n = len(pairs[b][1]), len(pairs[b][0])
+        cp = mea_traceback_fwd(dirs_p[b], offsets[b], m, n)
+        cx = mea_traceback_fwd(dirs_x[b], offsets[b], m, n)
+        cigar_equal += int(cp == cx)
+    result["dirs"] = {
+        "cells_compared": int(dirs_p.size),
+        "mismatches": n_diff,
+        "cigars_identical": cigar_equal,
+        "cigars_total": B,
+    }
+    print("dirs:", result["dirs"], flush=True)
+
+    if gamma_check:
+        from nanopore_tpu.ops.pairhmm import forward_backward
+
+        sub = prepare_banded_batch(
+            pairs[:gamma_b], band_width=W, k_max=2 * L
+        )
+        fb = forward_backward(sub, params)
+        gm_want = np.asarray(fb["gamma_match"])
+        gm_got = outs["pallas"]["gamma_match"][:gamma_b, :K1]
+        ks = np.arange(K1)[:, None]
+        errs = []
+        for b in range(gamma_b):
+            j = offsets[b][:, None] + np.arange(W)[None, :]
+            i = ks - j
+            m, n = len(pairs[b][1]), len(pairs[b][0])
+            valid = (i >= 1) & (i <= m) & (j >= 1) & (j <= n)
+            errs.append(
+                float(
+                    np.max(
+                        np.abs(gm_got[b][valid] - gm_want[b][valid])
+                    )
+                )
+            )
+        result["gamma_match_max_abs_err"] = max(errs)
+        print("gamma max abs err:", max(errs), flush=True)
+
+    result["pass"] = bool(
+        result["pallas"]["loglik_rel"] < 1e-3
+        and result["pallas"]["score_rel"] < 1e-3
+        and result["pallas"]["trans_rel"] < 5e-3
+        and result["dirs"]["cigars_identical"] == B
+        and result.get("gamma_match_max_abs_err", 0.0) < 1e-3
+    )
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PARITY_HW.json",
+    )
+    with open(path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print("wrote", path, "pass =", result["pass"], flush=True)
+    return 0 if result["pass"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

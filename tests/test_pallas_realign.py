@@ -165,6 +165,88 @@ class TestPallasRealign:
             )
             assert cigar_to_string(got_cig) == cigar_to_string(want_cig)
 
+    def test_emit_gamma_matches_forward_backward(self, params):
+        """emit_gamma streams the gamma_match band out of phase B; it
+        must match the two-pass XLA posterior at every valid pair cell,
+        and yc_band must reproduce the host band codes (both feed
+        ops.posteriors — the --outputAllPosteriorProbs equivalent)."""
+        from nanopore_tpu.ops.pairhmm import forward_backward
+        from nanopore_tpu.ops.pairhmm_pallas_realign import (
+            PallasRealignPlan,
+        )
+
+        rng = np.random.default_rng(29)
+        pairs = []
+        x0 = rng.integers(0, 4, 14).astype(np.int8)
+        y0 = x0.copy()
+        y0[rng.integers(0, 14, 3)] = rng.integers(0, 4, 3)
+        pairs.append((x0, y0, [(CIG.M, 14)]))
+        x1 = rng.integers(0, 4, 12).astype(np.int8)
+        pairs.append((x1, x1[:8].copy(), [(CIG.M, 4), (CIG.D, 4), (CIG.M, 4)]))
+        batch = prepare_banded_batch(pairs, band_width=8)
+        fb = forward_backward(batch, params)
+        plan = PallasRealignPlan(batch, params, emit_gamma=True)
+        got = plan.run(interpret=True)
+        gm_want = np.asarray(fb["gamma_match"])
+        gm_got = np.asarray(got["gamma_match"])
+        offsets = np.asarray(batch.offsets)
+        for b, (x, y, _) in enumerate(pairs):
+            m, n = len(y), len(x)
+            K1 = gm_want.shape[1]
+            ks = np.arange(K1)[:, None]
+            j = offsets[b][:K1, None] + np.arange(8)[None, :]
+            i = ks - j
+            valid = (i >= 1) & (i <= m) & (j >= 1) & (j <= n)
+            np.testing.assert_allclose(
+                gm_got[b][valid], gm_want[b][valid], rtol=1e-3, atol=1e-5
+            )
+            # yc_band matches the host band codes at every in-lattice
+            # cell (the packed stream sentinels out-of-lattice cells the
+            # host gather leaves as raw codes; gamma is 0 there, so
+            # expectation consumers cannot see the difference)
+            yb = np.asarray(plan.yc_band())
+            in_lattice = (i >= 0) & (i <= m) & (j >= 0) & (j <= n)
+            cell_valid = in_lattice & (i >= 1)
+            assert (
+                yb[b][cell_valid] == np.asarray(batch.yc)[b][cell_valid]
+            ).all()
+
+    def test_emit_em_off_matches_decode_outputs(self, params):
+        """emit_em=False (the mapping/realign decode path) must leave
+        loglik/score/dirs/gamma identical — it only skips the
+        Baum-Welch accumulators."""
+        from nanopore_tpu.ops.pairhmm_pallas_realign import (
+            PallasRealignPlan,
+        )
+
+        rng = np.random.default_rng(31)
+        pairs = uniform_pairs(rng, 2, 12)
+        batch = prepare_banded_batch(pairs, band_width=8)
+        full = PallasRealignPlan(
+            batch, params, emit_gamma=True
+        ).run(interpret=True)
+        lean = PallasRealignPlan(
+            batch, params, emit_gamma=True, emit_em=False
+        ).run(interpret=True)
+        assert "trans" not in lean and "emis" not in lean
+        for key in ("loglik", "score"):
+            np.testing.assert_allclose(
+                np.asarray(lean[key]), np.asarray(full[key]), rtol=1e-6
+            )
+        assert (np.asarray(lean["dirs"]) == np.asarray(full["dirs"])).all()
+        np.testing.assert_allclose(
+            np.asarray(lean["gamma_match"]),
+            np.asarray(full["gamma_match"]),
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(lean["ll_score"]),
+            np.stack(
+                [np.asarray(lean["loglik"]), np.asarray(lean["score"])]
+            ),
+            rtol=0,
+        )
+
     def test_update_params_matches_fresh_plan(self, params):
         """EM reuse contract (ops.dispatch.PreparedEm): swapping the
         model scalars on an existing plan == building a fresh plan with

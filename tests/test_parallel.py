@@ -121,6 +121,64 @@ class TestShardedEm:
         )
 
 
+class TestShardedEmPallas:
+    def test_pallas_step_matches_xla_step(self):
+        """The Pallas E-step under shard_map (interpret mode) must
+        reproduce the XLA em_train_step's M-step outputs on a (dp=4,
+        trial=2) mesh — the pod-scale EM route (VERDICT r2 #5)."""
+        import nanopore_tpu.ops.pairhmm_pallas_realign as ppr
+        from nanopore_tpu.parallel.sharded_em import (
+            make_sharded_em_step,
+            make_sharded_em_step_pallas,
+        )
+
+        old_chunk, old_seg = ppr.CHUNK, ppr.SEG
+        ppr.CHUNK = 8
+        ppr.SEG = 4
+        try:
+            rng = np.random.default_rng(9)
+            mesh = make_mesh(n_devices=8, n_trials=2)
+            pairs = make_pairs(rng, 6, 16)
+            # pad B to the dp axis (4) for the XLA step; zero weights
+            # keep the padding rows out of the expectations
+            pairs = pairs + pairs[:2]
+            batch = prepare_banded_batch(pairs, band_width=8)
+            w = np.array([1] * 6 + [0] * 2, np.float32)
+            models = [PairHmmModel.random(rng) for _ in range(2)]
+            t = np.stack([m.transitions for m in models]).astype(
+                np.float32
+            )
+            e = np.stack([m.emissions for m in models]).astype(np.float32)
+
+            step_p = make_sharded_em_step_pallas(
+                mesh, batch, w, interpret=True
+            )
+            got_t, got_e, got_ll = step_p((t, e))
+
+            step_x = make_sharded_em_step(mesh, batch.band_width)
+            want_t, want_e, want_ll = step_x(
+                (t, e),
+                (
+                    batch.xc, batch.yc, batch.xn, batch.yn,
+                    batch.offsets, batch.m, batch.n, batch.k_end, w,
+                ),
+            )
+            np.testing.assert_allclose(
+                np.asarray(got_ll), np.asarray(want_ll), rtol=1e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(got_t), np.asarray(want_t), rtol=2e-3,
+                atol=1e-5,
+            )
+            np.testing.assert_allclose(
+                np.asarray(got_e), np.asarray(want_e), rtol=2e-3,
+                atol=1e-5,
+            )
+        finally:
+            ppr.CHUNK, ppr.SEG = old_chunk, old_seg
+            ppr._pallas_realign_call.clear_cache()
+
+
 class TestGraftEntry:
     def test_entry_compiles(self):
         import sys, pathlib
