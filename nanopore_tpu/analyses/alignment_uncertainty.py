@@ -86,25 +86,34 @@ class AlignmentUncertainty(Analysis):
 
         results = [float("nan")] * len(records)
         batch_size = preferred_realign_batch_size(self.batch_size)
-        for (n_pad, m_pad), idxs in buckets.items():
-            for s in range(0, len(idxs), batch_size):
-                sub = idxs[s : s + batch_size]
-                batch = prepare_banded_batch(
-                    [items[i] for i in sub],
-                    band_width=self.band_width,
-                    k_max=n_pad + m_pad,
-                    n_pad_to=n_pad,
-                    m_pad_to=m_pad,
-                    device=not prefer_host_batch(self.band_width),
-                )
-                out = PreparedPosteriors(batch, params).run()
-                offs = np.asarray(batch.offsets)
-                scores = rescore_cigars(
-                    out["gamma_match"], offs,
-                    [items[i][2] for i in sub], self.band_width,
-                )
-                for b, i in enumerate(sub):
-                    results[i] = scores[b]
+
+        def prepared():
+            # pack + upload + async kernel launch on the prefetch
+            # thread, overlapping the previous batch's consumption
+            for (n_pad, m_pad), idxs in buckets.items():
+                for s in range(0, len(idxs), batch_size):
+                    sub = idxs[s : s + batch_size]
+                    batch = prepare_banded_batch(
+                        [items[i] for i in sub],
+                        band_width=self.band_width,
+                        k_max=n_pad + m_pad,
+                        n_pad_to=n_pad,
+                        m_pad_to=m_pad,
+                        device=not prefer_host_batch(self.band_width),
+                    )
+                    yield sub, PreparedPosteriors(batch, params).launch()
+
+        from nanopore_tpu.runtime.prefetch import prefetched
+
+        for sub, prep in prefetched(prepared(), depth=2):
+            out = prep.run()
+            offs = np.asarray(prep.batch.offsets)
+            scores = rescore_cigars(
+                out["gamma_match"], offs,
+                [items[i][2] for i in sub], self.band_width,
+            )
+            for b, i in enumerate(sub):
+                results[i] = scores[b]
 
         for idx, rec in enumerate(records):
             avg_posteriors.append(results[idx])

@@ -143,38 +143,46 @@ class MarginAlignSnpCaller(Analysis):
             buckets.setdefault(
                 (_next_pow2(n), _next_pow2(m)), []
             ).append(idx)
-        for (n_pad, m_pad), idxs in buckets.items():
-            for s in range(0, len(idxs), batch_size):
-                sub = idxs[s : s + batch_size]
-                pairs = []
-                for idx in sub:
-                    rec = data.records[idx]
-                    x = data.ref_codes[rec.rname]
-                    y = encode(rec.query)
-                    guide = [
-                        (op, l)
-                        for op, l in rec.cigar
-                        if op in (CIG.M, CIG.I, CIG.D)
-                    ]
-                    pairs.append((x, y, guide))
-                batch = prepare_banded_batch(
-                    pairs,
-                    band_width=self.band_width,
-                    k_max=n_pad + m_pad,
-                    n_pad_to=n_pad,
-                    m_pad_to=m_pad,
-                    device=not prefer_host_batch(self.band_width),
-                )
-                post = PreparedPosteriors(batch, params).run()
-                exps = posterior_expectations_batch(
-                    post["gamma_match"],
-                    post["yc"],
-                    np.asarray(batch.offsets),
-                    np.asarray(batch.n),
-                    threshold=POSTERIOR_THRESHOLD,
-                )
-                for b, idx in enumerate(sub):
-                    out[idx] = exps[b]
+        def prepared():
+            # pack + upload + async kernel launch on the prefetch
+            # thread, overlapping the previous batch's consumption
+            for (n_pad, m_pad), idxs in buckets.items():
+                for s in range(0, len(idxs), batch_size):
+                    sub = idxs[s : s + batch_size]
+                    pairs = []
+                    for idx in sub:
+                        rec = data.records[idx]
+                        x = data.ref_codes[rec.rname]
+                        y = encode(rec.query)
+                        guide = [
+                            (op, l)
+                            for op, l in rec.cigar
+                            if op in (CIG.M, CIG.I, CIG.D)
+                        ]
+                        pairs.append((x, y, guide))
+                    batch = prepare_banded_batch(
+                        pairs,
+                        band_width=self.band_width,
+                        k_max=n_pad + m_pad,
+                        n_pad_to=n_pad,
+                        m_pad_to=m_pad,
+                        device=not prefer_host_batch(self.band_width),
+                    )
+                    yield sub, PreparedPosteriors(batch, params).launch()
+
+        from nanopore_tpu.runtime.prefetch import prefetched
+
+        for sub, prep in prefetched(prepared(), depth=2):
+            post = prep.run()
+            exps = posterior_expectations_batch(
+                post["gamma_match"],
+                post["yc"],
+                np.asarray(prep.batch.offsets),
+                np.asarray(prep.batch.n),
+                threshold=POSTERIOR_THRESHOLD,
+            )
+            for b, idx in enumerate(sub):
+                out[idx] = exps[b]
         return out
 
     # ------------------------------------------------------------------ #

@@ -30,7 +30,7 @@ from nanopore_tpu.ops.pairhmm import (
 from nanopore_tpu.ops.mea import traceback_cigars_batch
 from nanopore_tpu.ops.dispatch import (
     PreparedRealign,
-    _place_batch,
+    PreparedViterbi,
     local_dp_devices,
     prefer_host_batch,
     preferred_realign_batch_size,
@@ -58,11 +58,12 @@ class MapperConfig:
     batch_size: int | None = None  # None: ops.dispatch picks per kernel
     max_ref_gap: int = 5000
     max_diag_drift: int = 500
-    # extension decode: "mea" = posterior MEA (marginAlign-calibrated;
-    # the fused Pallas kernel — the fast path on TPU), "viterbi" =
-    # single-pass max-product on the XLA scan (the analogue of the
-    # reference aligners' own extension DP; max-product semantics, but
-    # NOT faster on TPU — see ops/viterbi.py)
+    # extension decode: "mea" = posterior MEA (marginAlign-calibrated,
+    # the fused realign kernel), "viterbi" = single-pass max-product —
+    # the analogue of the reference aligners' own extension DP
+    # (bwa/lastal/lastz/blasr), on TPU served by the forward-only
+    # Pallas Viterbi kernel at ~3x the MEA kernel's cells/s.  MEA
+    # stays the default for marginAlign calibration parity.
     decode: str = "mea"
 
 
@@ -304,17 +305,18 @@ class MappingEngine:
             m_pad_to=m_pad,
             # Pallas-bound batches stay host-side; the repack uploads
             # one packed tensor instead (ops.dispatch)
-            device=cfg.decode == "viterbi"
-            or not prefer_host_batch(cfg.band_width),
+            device=not prefer_host_batch(cfg.band_width),
         )
         dev = self._devices[self._batch_counter % len(self._devices)]
         self._batch_counter += 1
-        if cfg.decode == "viterbi":
-            return sub, _place_batch(batch, dev)
-        # MEA path: the kernel-specific repack/upload happens here, on
-        # the prefetch thread, overlapping the previous batch's kernel;
+        # the kernel-specific repack/upload happens here, on the
+        # prefetch thread, overlapping the previous batch's kernel;
         # launch() puts the kernel in flight on this batch's chip so
         # round-robin batches overlap across local devices.
+        if cfg.decode == "viterbi":
+            return sub, PreparedViterbi(
+                batch, self.params, device=dev
+            ).launch()
         return sub, PreparedRealign(
             batch, self.params, cfg.gap_gamma, cfg.match_gamma,
             device=dev, emit_em=False,
@@ -333,23 +335,9 @@ class MappingEngine:
         cfg = self.config
         cigars: list[list[tuple[int, int]]] = []
         if cfg.decode == "viterbi":
-            from nanopore_tpu.ops.viterbi import (
-                viterbi_decode_batch,
-                viterbi_traceback,
-            )
-
-            batch = prep
-            offsets = np.asarray(batch.offsets)
-            scores, fstates, bps = viterbi_decode_batch(batch, self.params)
-            logliks = np.asarray(scores, np.float64)
-            bps = np.asarray(bps)
-            fstates = np.asarray(fstates)
-            for b, c in enumerate(sub):
-                m = len(c.read_codes)
-                n = c.window_end - c.window_start
-                cigars.append(
-                    viterbi_traceback(bps[b], offsets[b], m, n, fstates[b])
-                )
+            # single-pass max-product decode: Pallas kernel on TPU, XLA
+            # scan elsewhere; backpointers walked on device
+            logliks, cigars = prep.decode()
         else:
             # fused remat fwd/bwd + reverse-MEA: no stored lattice, so
             # extension batches scale; backend picked by ops.dispatch

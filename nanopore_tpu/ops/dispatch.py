@@ -328,6 +328,80 @@ class PreparedPosteriors:
         return self._run()
 
 
+class PreparedViterbi:
+    """A max-product decode batch prepared for the chosen kernel.
+
+    ``decode: "viterbi"`` extension path of the mapping engine: on TPU
+    the single-pass Pallas Viterbi kernel
+    (ops.pairhmm_pallas_viterbi — roughly 3x the fused realign
+    kernel's cells/s, no backward/EM work), elsewhere the XLA
+    anti-diagonal scan.  launch() on the prefetch thread puts the
+    kernel in flight; decode() walks the backpointers ON DEVICE and
+    returns (scores, cigars).
+    """
+
+    def __init__(
+        self, batch: BandedBatch, params: KernelParams, device=None
+    ):
+        self._params = params
+        if kernel_choice() == "pallas" and pallas_eligible(batch):
+            from nanopore_tpu.ops.pairhmm_pallas_viterbi import (
+                PallasViterbiPlan,
+            )
+
+            self.batch = batch
+            self._plan = PallasViterbiPlan(batch, params, device=device)
+        else:
+            self.batch = _place_batch(batch, device)
+            self._plan = None
+        self._out = None
+
+    def launch(self) -> "PreparedViterbi":
+        if self._out is None:
+            if self._plan is not None:
+                self._out = self._plan.run()
+            else:
+                from nanopore_tpu.ops.viterbi import viterbi_decode_batch
+
+                self._out = viterbi_decode_batch(self.batch, self._params)
+        return self
+
+    def decode(self):
+        """(scores (B,) float64, cigars list) — backpointers consumed
+        on device for the Pallas plan, on host for the XLA fallback."""
+        import numpy as np
+
+        self.launch()
+        if self._plan is not None:
+            from nanopore_tpu.ops.pairhmm_pallas_viterbi import (
+                viterbi_traceback_batch,
+            )
+
+            out = self._out
+            cigars = viterbi_traceback_batch(
+                out["bp"], self.batch.offsets, self.batch.m,
+                self.batch.n, out["fstate"],
+            )
+            return np.asarray(out["score"], np.float64), cigars
+        from nanopore_tpu.ops.viterbi import viterbi_traceback
+
+        scores, fstates, bps = self._out
+        scores = np.asarray(scores, np.float64)
+        fstates = np.asarray(fstates)
+        bps = np.asarray(bps)
+        offsets = np.asarray(self.batch.offsets)
+        ms = np.asarray(self.batch.m)
+        ns = np.asarray(self.batch.n)
+        cigars = [
+            viterbi_traceback(
+                bps[b], offsets[b], int(ms[b]), int(ns[b]),
+                int(fstates[b]),
+            )
+            for b in range(len(scores))
+        ]
+        return scores, cigars
+
+
 def preferred_realign_batch_size(requested: int | None = None) -> int:
     """Batch size to feed the fused realign.
 

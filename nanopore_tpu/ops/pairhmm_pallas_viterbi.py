@@ -1,0 +1,516 @@
+"""Pallas banded Viterbi kernel: single-pass max-product decode.
+
+The forward-only fast path for the mapping engine's extension stage
+(``MapperConfig.decode = "viterbi"``): max-product twin of the fused
+realign kernel's phase A, in LOG space (no per-diagonal rescaling —
+magnitudes stay within f32), emitting packed per-state backpointers per
+diagonal.  One pass over the lattice instead of realign's three
+(forward + remat + backward), no EM accumulators, no MEA — the
+semantics of the reference's non-probabilistic aligner extension DP
+(bwa/lastal/lastz/blasr sparse DP, reference ``nanopore/mappers/*.py``)
+at roughly 3x the fused kernel's cells/s.
+
+Shares the host pack with the realign kernel
+(ops.pairhmm_pallas_realign.prepare_pallas_realign): the packed
+``xyc`` code stream carries x/y codes and the per-read Lipschitz-1
+band deltas in bits 6/7; only the scalar tables differ (log-space
+transition/emission tables).  Sentinel codes (out-of-lattice cells)
+zero the one-hots, which here maps to a NEG log-emission (explicit
+per-state validity selects — log space has no zero-mass trick).
+
+Backpointers: per cell, the argmax predecessor STATE of each of the 5
+states; packed base-5 into two int8 planes per diagonal
+(p0 = bM + 5 bD1 + 25 bI1, p1 = bD2 + 5 bI2) and DMA'd out in
+SEG-diagonal blocks like the realign kernel's direction codes.  The
+traceback is a batched on-device scan over descending diagonals
+(viterbi_traceback_batch) — the planes never cross to the host.
+
+Oracle: ops.viterbi._viterbi_scan_single (XLA), itself pinned to the
+pair-HMM semantics of ops/pairhmm_ref.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nanopore_tpu.io.sam import CIG
+from nanopore_tpu.ops.pairhmm import BandedBatch, KernelParams
+from nanopore_tpu.ops.pairhmm_pallas import _unpack_onehots32
+from nanopore_tpu.ops.pairhmm_pallas_realign import (
+    BT,
+    prepare_pallas_realign,
+)
+
+NUM_STATES = 5
+CHUNK = 128  # diagonals per input DMA chunk
+SEG = 16  # diagonals per backpointer output block
+NEG = -1e30
+
+
+def _viterbi_kernel(
+    # scalar-prefetch (SMEM): LOG-space tables
+    ltf_ref,  # (25,) f32 log transitions [from*5+to]
+    lemf_ref,  # (36,) f32 log match emissions [x*6+y]
+    legf_ref,  # (30,) f32 log gap emissions [state*6+base]
+    # tensor inputs
+    kend_ref,  # (1, BT) int32 VMEM
+    xyc_hbm,  # (NB, K_pad, W, BT) int8 packed codes (+ delta bits 6/7)
+    # outputs
+    score_ref,  # (1, BT) f32
+    fstate_ref,  # (1, BT) f32 (argmax state at k_end, cast on host)
+    bp_hbm,  # (NB*(K_pad+1)*2, W, BT) int8: two planes per diagonal
+    # scratch
+    bufA,  # (2*CHUNK, W, BT) int8
+    vA,  # (5, W, BT) f32 even-diagonal state (log)
+    vB,  # (5, W, BT) f32 odd-diagonal state (log)
+    bp_buf,  # (2*SEG*2, W, BT) int8 staged backpointer planes
+    in_sems,  # DMA (2,)
+    out_sems,  # DMA (2,)
+    *,
+    k_pad: int,
+    W: int,
+):
+    bt = pl.program_id(0)
+    n_chunks = k_pad // CHUNK
+    segs_per_chunk = CHUNK // SEG
+
+    row = lax.broadcasted_iota(jnp.int32, (W, BT), 0)
+    zeros = jnp.zeros((W, BT), jnp.float32)
+    neg_tile = jnp.full((W, BT), NEG, jnp.float32)
+    kend = kend_ref[:, :]
+
+    def shift_w(arr, s: int, fill):
+        if s == 0:
+            return arr
+        rolled = pltpu.roll(arr, (-s) % W, 0)
+        if s > 0:
+            return jnp.where(row < W - s, rolled, fill)
+        return jnp.where(row >= -s, rolled, fill)
+
+    def lane_shift(arr, d, lo, hi, fill):
+        out = None
+        for v in range(lo, hi + 1):
+            mv = (d == v).astype(jnp.float32)
+            sv = shift_w(arr, v, fill)
+            out = mv * sv if out is None else out + mv * sv
+        return out
+
+    def best(preds, dest):
+        """Max/argmax over predecessor states for one destination."""
+        v = preds[0] + ltf_ref[0 * 5 + dest]
+        bf = zeros
+        for s in range(1, NUM_STATES):
+            c = preds[s] + ltf_ref[s * 5 + dest]
+            take = c > v
+            v = jnp.maximum(v, c)
+            bf = jnp.where(take, jnp.float32(s), bf)
+        return v, bf
+
+    def diag_step(k_new, xy, prev, prevprev, score, fstate):
+        xy32 = xy.astype(jnp.int32)
+        d1 = (xy32 >> 6) & 1
+        d1p = (xy32 >> 7) & 1
+        d2 = d1 + d1p - 1
+        oh_x, oh_y = _unpack_onehots32(xy32)
+
+        # log emissions by one-hot contraction; sentinel codes zero the
+        # one-hots -> explicit NEG selects (no zero-mass trick in log)
+        le_m = zeros
+        vx = zeros
+        vy = zeros
+        for a in range(5):
+            inner = zeros
+            for cc in range(5):
+                inner = inner + lemf_ref[a * 6 + cc] * oh_y[cc]
+            le_m = le_m + oh_x[a] * inner
+            vx = vx + oh_x[a]
+            vy = vy + oh_y[a]
+        lgx1 = zeros
+        lgx3 = zeros
+        lgy2 = zeros
+        lgy4 = zeros
+        for cc in range(5):
+            lgx1 = lgx1 + legf_ref[1 * 6 + cc] * oh_x[cc]
+            lgx3 = lgx3 + legf_ref[3 * 6 + cc] * oh_x[cc]
+            lgy2 = lgy2 + legf_ref[2 * 6 + cc] * oh_y[cc]
+            lgy4 = lgy4 + legf_ref[4 * 6 + cc] * oh_y[cc]
+        ok_xy = vx * vy
+        ok_x = vx
+        ok_y = vy
+        le_m = jnp.where(ok_xy > 0, le_m, NEG)
+        lgx1 = jnp.where(ok_x > 0, lgx1, NEG)
+        lgx3 = jnp.where(ok_x > 0, lgx3, NEG)
+        lgy2 = jnp.where(ok_y > 0, lgy2, NEG)
+        lgy4 = jnp.where(ok_y > 0, lgy4, NEG)
+
+        # max/argmax BEFORE the band shifts (max commutes with the
+        # per-lane shifts exactly as the linear kernel's tsum-first)
+        vM, bM = best(prevprev, 0)
+        vD1, bD1 = best(prev, 1)
+        vI1, bI1 = best(prev, 2)
+        vD2, bD2 = best(prev, 3)
+        vI2, bI2 = best(prev, 4)
+
+        vM = lane_shift(vM, d2, -1, 1, NEG)
+        bM = lane_shift(bM, d2, -1, 1, 0.0)
+        vD1 = lane_shift(vD1, d1 - 1, -1, 0, NEG)
+        bD1 = lane_shift(bD1, d1 - 1, -1, 0, 0.0)
+        vD2 = lane_shift(vD2, d1 - 1, -1, 0, NEG)
+        bD2 = lane_shift(bD2, d1 - 1, -1, 0, 0.0)
+        vI1 = lane_shift(vI1, d1, 0, 1, NEG)
+        bI1 = lane_shift(bI1, d1, 0, 1, 0.0)
+        vI2 = lane_shift(vI2, d1, 0, 1, NEG)
+        bI2 = lane_shift(bI2, d1, 0, 1, 0.0)
+
+        new = [
+            vM + le_m,
+            vD1 + lgx1,
+            vI1 + lgy2,
+            vD2 + lgx3,
+            vI2 + lgy4,
+        ]
+        # NEG + NEG overflows past -inf representability concerns: clamp
+        new = [jnp.maximum(x, NEG) for x in new]
+
+        p0 = (bM + 5.0 * bD1 + 25.0 * bI1).astype(jnp.int8)
+        p1 = (bD2 + 5.0 * bI2).astype(jnp.int8)
+
+        # end capture at each lane's k_end: score/state of band cell 0
+        is_end = k_new == kend  # (1, BT)
+        v_end = new[0][0:1, :]
+        s_end = jnp.zeros((1, BT), jnp.float32)
+        for s in range(1, NUM_STATES):
+            take = new[s][0:1, :] > v_end
+            v_end = jnp.maximum(v_end, new[s][0:1, :])
+            s_end = jnp.where(take, jnp.float32(s), s_end)
+        score = jnp.where(is_end, v_end, score)
+        fstate = jnp.where(is_end, s_end, fstate)
+        return new, score, fstate, p0, p1
+
+    # init: diagonal 0 state (band cell 0 = lattice origin)
+    start = jnp.where(row == 0, np.float32(np.log(1.0 / NUM_STATES)), NEG)
+    for st in range(NUM_STATES):
+        vA[st] = start
+        vB[st] = neg_tile
+
+    def chunk_dma(c, slot):
+        return pltpu.make_async_copy(
+            xyc_hbm.at[bt, pl.ds(c * CHUNK, CHUNK)],
+            bufA.at[pl.ds(slot * CHUNK, CHUNK)],
+            in_sems.at[slot],
+        )
+
+    chunk_dma(0, 0).start()
+    score0 = jnp.full((1, BT), NEG, jnp.float32)
+    fstate0 = jnp.zeros((1, BT), jnp.float32)
+    score_ref[:, :] = score0
+    fstate_ref[:, :] = fstate0
+
+    def chunk_body(c, _):
+        slot = lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            chunk_dma(c + 1, 1 - slot).start()
+
+        chunk_dma(c, slot).wait()
+        base = slot * CHUNK
+
+        def seg_body(sl, _):
+            sg = c * segs_per_chunk + sl  # global SEG index
+            bslot = lax.rem(sg, 2)
+
+            # wait for the bp DMA that used this staging slot last
+            @pl.when(sg >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    bp_buf.at[pl.ds(bslot * 2 * SEG, 2 * SEG)],
+                    bp_hbm.at[pl.ds((bt * (k_pad + 1) + 1) * 2, 2 * SEG)],
+                    out_sems.at[bslot],
+                ).wait()
+
+            def pair_body(ip, _):
+                t = base + sl * SEG + 2 * ip
+                kl = sl * SEG + 2 * ip  # chunk-local diagonal index
+                k0 = c * CHUNK + kl
+                a = [vA[st] for st in range(NUM_STATES)]
+                b = [vB[st] for st in range(NUM_STATES)]
+                nb, sc, fs, p0b, p1b = diag_step(
+                    k0 + 1, bufA[t], a, b, score_ref[:, :],
+                    fstate_ref[:, :],
+                )
+                na, sc, fs, p0a, p1a = diag_step(
+                    k0 + 2, bufA[t + 1], nb, a, sc, fs
+                )
+                for st in range(NUM_STATES):
+                    vB[st] = nb[st]
+                    vA[st] = na[st]
+                score_ref[:, :] = sc
+                fstate_ref[:, :] = fs
+
+                # stage the two diagonals' planes (static indices under
+                # slot predicates — traced int8 stores miscompile, see
+                # the realign kernel's dirs_buf note)
+                @pl.when(bslot == 0)
+                def _s0(p0b=p0b, p1b=p1b, p0a=p0a, p1a=p1a, ip=ip):
+                    bp_buf[4 * ip] = p0b
+                    bp_buf[4 * ip + 1] = p1b
+                    bp_buf[4 * ip + 2] = p0a
+                    bp_buf[4 * ip + 3] = p1a
+
+                @pl.when(bslot == 1)
+                def _s1(p0b=p0b, p1b=p1b, p0a=p0a, p1a=p1a, ip=ip):
+                    bp_buf[2 * SEG + 4 * ip] = p0b
+                    bp_buf[2 * SEG + 4 * ip + 1] = p1b
+                    bp_buf[2 * SEG + 4 * ip + 2] = p0a
+                    bp_buf[2 * SEG + 4 * ip + 3] = p1a
+
+                return 0
+
+            lax.fori_loop(0, SEG // 2, pair_body, 0)
+
+            base_row = (bt * (k_pad + 1) + 1 + sg * SEG) * 2
+            pltpu.make_async_copy(
+                bp_buf.at[pl.ds(bslot * 2 * SEG, 2 * SEG)],
+                bp_hbm.at[pl.ds(base_row, 2 * SEG)],
+                out_sems.at[bslot],
+            ).start()
+            return 0
+
+        lax.fori_loop(0, segs_per_chunk, seg_body, 0)
+        return 0
+
+    lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+    total_segs = k_pad // SEG
+    for bslot in range(min(2, total_segs)):
+        pltpu.make_async_copy(
+            bp_buf.at[pl.ds(bslot * 2 * SEG, 2 * SEG)],
+            bp_hbm.at[pl.ds((bt * (k_pad + 1) + 1) * 2, 2 * SEG)],
+            out_sems.at[bslot],
+        ).wait()
+
+
+def _log_tables(params: KernelParams):
+    from nanopore_tpu.ops.pairhmm_pallas_realign import _param_scalars
+
+    tf, emf, egf = _param_scalars(params)
+    floor = 1e-37
+    return (
+        np.log(np.maximum(tf, floor)).astype(np.float32),
+        np.log(np.maximum(emf, floor)).astype(np.float32),
+        np.log(np.maximum(egf, floor)).astype(np.float32),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k_pad", "NB", "W", "interpret")
+)
+def _pallas_viterbi_call(
+    ltf, lemf, legf, kend, xyc, k_pad, NB, W, interpret=False
+):
+    kernel = functools.partial(_viterbi_kernel, k_pad=k_pad, W=W)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec(
+                (None, 1, BT), lambda b, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (None, 1, BT), lambda b, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, 1, BT), lambda b, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # bp planes
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2 * CHUNK, W, BT), jnp.int8),  # bufA
+            pltpu.VMEM((5, W, BT), jnp.float32),  # vA
+            pltpu.VMEM((5, W, BT), jnp.float32),  # vB
+            pltpu.VMEM((2 * SEG * 2, W, BT), jnp.int8),  # bp_buf
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct((NB, 1, BT), jnp.float32),  # score
+        jax.ShapeDtypeStruct((NB, 1, BT), jnp.float32),  # fstate
+        jax.ShapeDtypeStruct((NB * (k_pad + 1) * 2, W, BT), jnp.int8),
+    ]
+    score, fstate, bp = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ltf, lemf, legf, kend, xyc)
+
+    def lanes(x):
+        return jnp.transpose(x, (0, 2, 1)).reshape(x.shape[0] * BT, -1)
+
+    bp_b = jnp.transpose(
+        bp.reshape(NB, k_pad + 1, 2, W, BT), (0, 4, 1, 2, 3)
+    ).reshape(-1, k_pad + 1, 2, W)
+    return {
+        "score": lanes(score)[:, 0],
+        "fstate": lanes(fstate)[:, 0].astype(jnp.int32),
+        "bp": bp_b,  # (B_pad, K_pad+1, 2, W) planes, row k = diagonal k
+    }
+
+
+class PallasViterbiPlan:
+    """Device-resident inputs for the Viterbi kernel (cf.
+    PallasRealignPlan — same packed code stream, log-space tables)."""
+
+    def __init__(self, batch: BandedBatch, params: KernelParams,
+                 device=None):
+        prep = prepare_pallas_realign(batch, params)
+        self.device = device
+        put = (
+            jnp.asarray
+            if device is None
+            else (lambda a: jax.device_put(a, device))
+        )
+        ltf, lemf, legf = _log_tables(params)
+        self.arrays = (
+            put(ltf), put(lemf), put(legf),
+            put(prep["kend"]), put(prep["xyc"]),
+        )
+        self.k_pad = prep["k_pad"]
+        self.B = prep["B"]
+        self.K = prep["K"]
+        self.NB = prep["NB"]
+        self.W = prep["W"]
+
+    def run(self, interpret: bool = False) -> dict:
+        out = _pallas_viterbi_call(
+            *self.arrays, self.k_pad, self.NB, self.W, interpret
+        )
+        B, K = self.B, self.K
+        return {
+            "score": out["score"][:B],
+            "fstate": out["fstate"][:B],
+            "bp": out["bp"][:B, : K + 1],
+        }
+
+
+def pallas_viterbi(
+    batch: BandedBatch,
+    params: KernelParams,
+    interpret: bool = False,
+) -> dict:
+    """Single-pass banded Viterbi on the Pallas kernel.
+
+    Returns {score (B,), fstate (B,), bp (B, K+1, 2, W) int8 planes};
+    decode with viterbi_traceback_batch (on device).
+    """
+    return PallasViterbiPlan(batch, params).run(interpret)
+
+
+# --------------------------------------------------------------------- #
+# On-device batched traceback over the packed planes
+# --------------------------------------------------------------------- #
+OP_M, OP_D, OP_I, OP_NONE = 0, 1, 2, 3
+_OP_TO_CIG = {OP_M: CIG.M, OP_D: CIG.D, OP_I: CIG.I}
+
+
+@jax.jit
+def _viterbi_ops_jit(bp, offsets, m, n, fstate):
+    """Walk the Viterbi path backward over descending diagonals.
+
+    bp (B, K1, 2, W) packed planes; returns (B, K1) int8 op codes where
+    column k holds the move taken INTO diagonal k's path cell (OP_NONE
+    off-path).  Band reads are one-hot contractions (no gathers).
+    """
+    from nanopore_tpu.ops.pairhmm import SCAN_UNROLL
+
+    B, K1, _, W = bp.shape
+    bp_t = jnp.transpose(bp, (1, 0, 2, 3)).astype(jnp.int32)  # (K1,B,2,W)
+    offs_t = jnp.swapaxes(offsets, 0, 1).astype(jnp.int32)  # (K1, B)
+    lanes = jnp.arange(W, dtype=jnp.int32)
+    m = m.astype(jnp.int32)
+    n = n.astype(jnp.int32)
+
+    def step(carry, xs):
+        i, j, s = carry
+        bp_k, off_k, k = xs
+        active = (i + j) == k
+        at_origin = (i == 0) & (j == 0)
+        act = active & ~at_origin
+        b = j - off_k
+        oh = (lanes[None, :] == b[:, None]).astype(jnp.int32)
+        p0 = jnp.sum(bp_k[:, 0, :] * oh, axis=1)
+        p1 = jnp.sum(bp_k[:, 1, :] * oh, axis=1)
+        prev = jnp.where(
+            s == 0, p0 % 5,
+            jnp.where(
+                s == 1, (p0 // 5) % 5,
+                jnp.where(s == 2, p0 // 25,
+                          jnp.where(s == 3, p1 % 5, p1 // 5)),
+            ),
+        )
+        op = jnp.where(
+            s == 0, OP_M, jnp.where((s == 1) | (s == 3), OP_D, OP_I)
+        )
+        op = jnp.where(act, op, OP_NONE).astype(jnp.int8)
+        di = (act & ((s == 0) | (s == 2) | (s == 4))).astype(jnp.int32)
+        dj = (act & ((s == 0) | (s == 1) | (s == 3))).astype(jnp.int32)
+        i = i - di
+        j = j - dj
+        s = jnp.where(act, prev, s)
+        return (i, j, s), op
+
+    ks = jnp.arange(K1 - 1, -1, -1, dtype=jnp.int32)
+    xs = (bp_t[::-1], offs_t[::-1], ks)
+    (fi, fj, _), ops_rev = lax.scan(
+        step, (m, n, fstate.astype(jnp.int32)), xs, unroll=SCAN_UNROLL
+    )
+    return ops_rev[::-1].swapaxes(0, 1), fi, fj  # (B, K1)
+
+
+def viterbi_traceback_batch(
+    bp, offsets, m, n, fstate
+) -> list[list[tuple[int, int]]]:
+    """Batched device traceback -> per-read global cigars.
+
+    Pinned to ops.viterbi.viterbi_traceback (host walk) by tests; only
+    the (B, K1) op matrix crosses to the host.
+    """
+    ops, fi, fj = _viterbi_ops_jit(
+        jnp.asarray(bp),
+        jnp.asarray(offsets),
+        jnp.asarray(m),
+        jnp.asarray(n),
+        jnp.asarray(fstate),
+    )
+    ops = np.asarray(ops)
+    fi = np.asarray(fi)
+    fj = np.asarray(fj)
+    out = []
+    for b in range(ops.shape[0]):
+        assert fi[b] == 0 and fj[b] == 0, "viterbi traceback left the band"
+        sel = ops[b][ops[b] != OP_NONE]
+        cigar: list[tuple[int, int]] = []
+        for op in sel:
+            cop = _OP_TO_CIG[int(op)]
+            if cigar and cigar[-1][0] == cop:
+                cigar[-1] = (cop, cigar[-1][1] + 1)
+            else:
+                cigar.append((cop, 1))
+        out.append(cigar)
+    return out

@@ -10,12 +10,13 @@ blasr sparse DP, reference ``nanopore/mappers/*.py``), with a
 calibrated score (the Viterbi log-likelihood) instead of an arbitrary
 integer scoring scheme.
 
-NOTE on speed: this runs on the XLA anti-diagonal scan, which is
-dispatch-latency-bound on TPU — the fused Pallas MEA kernel
-(``decode: "mea"``, the default) is the FAST path there despite doing
-~3x the algorithmic work.  Choose ``decode: "viterbi"`` for max-product
-*semantics* (a single best path, no posterior averaging), or for speed
-on non-TPU backends only.
+NOTE on speed: THIS module is the XLA anti-diagonal scan —
+dispatch-latency-bound on TPU, where ops.pairhmm_pallas_viterbi (the
+single-pass Pallas kernel dispatched by
+ops.dispatch.PreparedViterbi) serves ``decode: "viterbi"`` instead
+and genuinely undercuts the fused MEA kernel (~1/3 of the work: no
+backward, no remat, no rescaling).  This scan remains the oracle and
+the CPU/virtual-mesh backend.
 
 Backpointers are the only stored lattice: (K, 5, W) int8 — the argmax
 predecessor *state* per cell; the move geometry (diagonal / left / up)

@@ -1,0 +1,102 @@
+"""Hardware timing of the single-pass Pallas Viterbi kernel.
+
+Same workload as bench.py (noisy L=5000 reads, W=64); compares the
+forward-only max-product decode against the fused realign kernel's
+numbers.  VITERBI_B sets the batch (default 1024).
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts_dev/viterbi_hw_timing.py
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from nanopore_tpu.align.model import PairHmmModel  # noqa: E402
+from nanopore_tpu.io.sam import CIG  # noqa: E402
+from nanopore_tpu.ops.pairhmm import (  # noqa: E402
+    make_kernel_params,
+    prepare_banded_batch,
+)
+from nanopore_tpu.ops.pairhmm_pallas_viterbi import (  # noqa: E402
+    PallasViterbiPlan,
+    viterbi_traceback_batch,
+)
+
+
+def main():
+    B = int(os.environ.get("VITERBI_B", "1024"))
+    L = int(os.environ.get("VITERBI_L", "5000"))
+    W = 64
+    print("devices:", jax.devices(), "B=%d" % B, flush=True)
+    rng = np.random.default_rng(0)
+    model = PairHmmModel.load("nanopore_tpu/models/blasr_hmm_0.txt")
+    params = make_kernel_params(model)
+    pairs = []
+    for _ in range(B):
+        x = rng.integers(0, 4, L).astype(np.int8)
+        keep = rng.random(L) > 0.05
+        y = x[keep]
+        sub = rng.random(len(y)) < 0.1
+        y = np.where(sub, rng.integers(0, 4, len(y)), y).astype(np.int8)
+        d = min(len(y), L)
+        guide = [(CIG.M, d)]
+        if L > d:
+            guide.append((CIG.D, L - d))
+        pairs.append((x, y, guide))
+    batch = prepare_banded_batch(
+        pairs, band_width=W, k_max=2 * L, device=False
+    )
+    plan = PallasViterbiPlan(batch, params)
+
+    def once():
+        out = plan.run()
+        return float(np.asarray(out["score"]).sum())
+
+    t0 = time.time()
+    once()
+    print("compile+first %.0fs" % (time.time() - t0), flush=True)
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        once()
+        times.append(time.time() - t0)
+    elapsed = min(times)
+    cells = int(np.asarray(batch.k_end).sum()) * W
+    print(
+        "viterbi fwd: %.4f s/batch = %.2f Gcells/s (%.0f reads/s)"
+        % (elapsed, cells / elapsed / 1e9, B / elapsed),
+        flush=True,
+    )
+
+    # with on-device traceback (the full decode path)
+    def decode_once():
+        out = plan.run()
+        cigs = viterbi_traceback_batch(
+            out["bp"], batch.offsets, batch.m, batch.n, out["fstate"]
+        )
+        return len(cigs)
+
+    decode_once()
+    t0 = time.time()
+    decode_once()
+    elapsed = time.time() - t0
+    print(
+        "viterbi fwd+traceback: %.4f s/batch = %.2f Gcells/s (%.0f reads/s)"
+        % (elapsed, cells / elapsed / 1e9, B / elapsed),
+        flush=True,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
