@@ -55,14 +55,15 @@ def main() -> int:
 
     baseline_src = "estimate"
     BASELINE_CELLS_PER_SEC = 2.0e7  # fallback estimate (round 1)
+    BASELINE_DECODE = None
     measured_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json"
     )
     if os.path.exists(measured_path):
         with open(measured_path) as fh:
-            BASELINE_CELLS_PER_SEC = float(
-                json.load(fh)["cells_per_sec"]
-            )
+            measured = json.load(fh)
+        BASELINE_CELLS_PER_SEC = float(measured["cells_per_sec"])
+        BASELINE_DECODE = measured.get("decode_cells_per_sec")
         baseline_src = "measured"
 
     # the fused realign path stores no lattice, so the batch can be
@@ -99,22 +100,25 @@ def main() -> int:
     prep = PreparedRealign(batch, params)
 
     def timed(p, reps=3):
-        def once():
-            # full cactus_realign equivalent per read: forward +
-            # backward + MEA redecode, via the fused kernel picked by
-            # ops.dispatch (Pallas on TPU, XLA scan elsewhere);
-            # direction bands stay on device — traceback is pipelined
-            # host work in production.  ONE materialisation pull (the
-            # remote runtime charges ~23 ms per round trip and no-ops
-            # block_until_ready).
-            out = p.run()
-            key = "ll_score" if "ll_score" in out else "loglik"
-            return float(np.asarray(out[key]).sum())
+        # full cactus_realign equivalent per read: forward + backward +
+        # MEA redecode, via the fused kernel picked by ops.dispatch
+        # (Pallas on TPU, XLA scan elsewhere); direction bands stay on
+        # device — traceback is pipelined host work in production.
+        #
+        # PIPELINED timing, exactly like production: all reps are
+        # async-dispatched back-to-back (the prefetch thread launches
+        # batches this way, ops.dispatch .launch()), then materialised
+        # with one pull each — the remote runtime's fixed ~23 ms
+        # round-trip latency amortises across the in-flight batches
+        # instead of serialising between them.
+        def key(out):
+            return out["ll_score"] if "ll_score" in out else out["loglik"]
 
-        once()  # compile + warm
+        float(np.asarray(key(p.run())).sum())  # compile + warm
         t0 = time.time()
-        for _ in range(reps):
-            once()
+        outs = [key(p.run()) for _ in range(reps)]
+        for o in outs:
+            float(np.asarray(o).sum())
         return (time.time() - t0) / reps
 
     elapsed = timed(prep)
@@ -144,6 +148,12 @@ def main() -> int:
         d_elapsed = timed(decode_prep)
         detail["decode_cells_per_sec"] = round(cells / d_elapsed, 1)
         detail["decode_reads_per_sec"] = round(B / d_elapsed, 2)
+        if BASELINE_DECODE:
+            # decode vs the C++ baseline's own decode-only mode — the
+            # apples-to-apples cactus_realign (utils.py:587) workload
+            detail["decode_vs_baseline"] = round(
+                cells / d_elapsed / float(BASELINE_DECODE), 3
+            )
 
     # end-to-end mapping throughput measured separately on this chip
     # (scripts_dev/e2e_throughput.py writes E2E_HW.json; FASTQ -> SAM

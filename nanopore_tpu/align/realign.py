@@ -31,13 +31,12 @@ from nanopore_tpu.ops.mea import (
     mea_decode_batch,
     mea_traceback,
     rescore_by_posterior,
-    traceback_cigars_batch,
 )
 from nanopore_tpu.ops.dispatch import (
     PreparedRealign,
     local_dp_devices,
-    prefer_host_batch,
     preferred_realign_batch_size,
+    prepared_from_pairs,
 )
 
 
@@ -88,9 +87,10 @@ def realign_records(
     devices = local_dp_devices()
 
     def prepared_batches():
-        """Pack + upload on the prefetch thread: the ~18s/20s host cost
-        of prepare_banded_batch (CLAUDE.md) overlaps the previous
-        batch's device kernel instead of serialising behind it."""
+        """Pack + launch on the prefetch thread: the host pack (fused
+        direct pack on TPU, ops.dispatch.prepared_from_pairs) and the
+        async kernel dispatch overlap the previous batch's consumption
+        instead of serialising behind it."""
         bi = 0
         for (n_pad, m_pad), idxs in buckets.items():
             for s in range(0, len(idxs), batch_size):
@@ -104,24 +104,28 @@ def realign_records(
                         rec.pos == 0
                     ), "realign requires chained global records"
                     pairs.append((x, y, rec.cigar))
-                batch = prepare_banded_batch(
-                    pairs,
-                    band_width=band_width,
-                    k_max=n_pad + m_pad,
-                    n_pad_to=n_pad,
-                    m_pad_to=m_pad,
-                    device=(rescore and not pallas_rescore)
-                    or not prefer_host_batch(band_width),
-                )
                 if rescore and not pallas_rescore:
-                    yield sub, batch
+                    yield sub, prepare_banded_batch(
+                        pairs,
+                        band_width=band_width,
+                        k_max=n_pad + m_pad,
+                        n_pad_to=n_pad,
+                        m_pad_to=m_pad,
+                    )
                 else:
-                    # kernel-specific repack + upload on this thread too
-                    yield sub, PreparedRealign(
-                        batch, params, gap_gamma, match_gamma,
-                        emit_gamma=rescore,
-                        device=devices[bi % len(devices)],
-                        emit_em=False,  # decode needs no expectations
+                    yield sub, prepared_from_pairs(
+                        {
+                            "gap_gamma": gap_gamma,
+                            "match_gamma": match_gamma,
+                            "emit_gamma": rescore,
+                            "device": devices[bi % len(devices)],
+                            "emit_em": False,  # decode: no expectations
+                        },
+                        pairs,
+                        params,
+                        band_width=band_width,
+                        k_max=n_pad + m_pad,
+                        prepared_cls=PreparedRealign,
                     ).launch()
                     bi += 1
 
@@ -137,13 +141,10 @@ def realign_records(
             # fused Pallas: dirs + gamma band in ONE kernel pass; the
             # traceback and the posterior rescore of the NEW cigars
             # both run on device (only op codes / scalars come back)
-            fused = prepared.run()
-            offs_np = np.asarray(batch.offsets)
-            cigars = traceback_cigars_batch(
-                fused["dirs"], batch.offsets, batch.m, batch.n
-            )
+            _, cigars, fused = prepared.decode()
             res = rescore_cigars(
-                fused["gamma_match"], offs_np, cigars, band_width
+                fused["gamma_match"], np.asarray(batch.offsets),
+                cigars, band_width,
             )
             for b, idx in enumerate(sub):
                 records[idx].cigar = cigars[b]
@@ -171,12 +172,10 @@ def realign_records(
             # fused rematerialised path: no stored lattice / gamma
             # bands, so realign batches scale; Pallas kernel on TPU,
             # XLA scan elsewhere (ops.dispatch).  Traceback runs ON
-            # DEVICE (batched diagonal scan) — only the per-diagonal op
-            # matrix crosses to the host, not the direction bands.
-            fused = prepared.run()
-            cigars = traceback_cigars_batch(
-                fused["dirs"], batch.offsets, batch.m, batch.n
-            )
+            # DEVICE (batched diagonal scan over the kernel's native
+            # direction layout) — only the per-diagonal op matrix
+            # crosses to the host, not the direction bands.
+            _, cigars, _ = prepared.decode()
             for b, idx in enumerate(sub):
                 records[idx].cigar = cigars[b]
     return scores if rescore else []

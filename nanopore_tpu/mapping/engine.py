@@ -23,17 +23,13 @@ from nanopore_tpu.io.sam import SamRecord, SamWriter, CIG
 from nanopore_tpu.io.seqio import fastq_read
 from nanopore_tpu.mapping.index import KmerIndex
 from nanopore_tpu.mapping.chain import merge_hits_to_anchors, chain_anchors, Chain
-from nanopore_tpu.ops.pairhmm import (
-    make_kernel_params,
-    prepare_banded_batch,
-)
-from nanopore_tpu.ops.mea import traceback_cigars_batch
+from nanopore_tpu.ops.pairhmm import make_kernel_params
 from nanopore_tpu.ops.dispatch import (
     PreparedRealign,
     PreparedViterbi,
     local_dp_devices,
-    prefer_host_batch,
     preferred_realign_batch_size,
+    prepared_from_pairs,
 )
 
 
@@ -289,7 +285,14 @@ class MappingEngine:
 
     def _prepare_batch(self, sub, n_pad, m_pad):
         """Host pack + device upload for one candidate batch (the
-        expensive host side — runs on the prefetch thread)."""
+        expensive host side — runs on the prefetch thread).
+
+        prepared_from_pairs packs straight into the kernel layout (one
+        fused pass, k_max tightened to the batch's real diagonal need)
+        on TPU; elsewhere it builds the BandedBatch for the XLA scans.
+        launch() then puts the kernel in flight on this batch's
+        round-robin chip so batches overlap across local devices.
+        """
         cfg = self.config
         pairs = []
         for c in sub:
@@ -297,30 +300,32 @@ class MappingEngine:
                 c.window_start : c.window_end
             ]
             pairs.append((x, c.read_codes, c.guide))
-        batch = prepare_banded_batch(
-            pairs,
-            band_width=cfg.band_width,
-            k_max=n_pad + m_pad,
-            n_pad_to=n_pad,
-            m_pad_to=m_pad,
-            # Pallas-bound batches stay host-side; the repack uploads
-            # one packed tensor instead (ops.dispatch)
-            device=not prefer_host_batch(cfg.band_width),
-        )
         dev = self._devices[self._batch_counter % len(self._devices)]
         self._batch_counter += 1
-        # the kernel-specific repack/upload happens here, on the
-        # prefetch thread, overlapping the previous batch's kernel;
-        # launch() puts the kernel in flight on this batch's chip so
-        # round-robin batches overlap across local devices.
         if cfg.decode == "viterbi":
-            return sub, PreparedViterbi(
-                batch, self.params, device=dev
-            ).launch()
-        return sub, PreparedRealign(
-            batch, self.params, cfg.gap_gamma, cfg.match_gamma,
-            device=dev, emit_em=False,
-        ).launch()
+            prep = prepared_from_pairs(
+                {"device": dev},
+                pairs,
+                self.params,
+                band_width=cfg.band_width,
+                k_max=n_pad + m_pad,
+                prepared_cls=PreparedViterbi,
+            )
+        else:
+            prep = prepared_from_pairs(
+                {
+                    "gap_gamma": cfg.gap_gamma,
+                    "match_gamma": cfg.match_gamma,
+                    "device": dev,
+                    "emit_em": False,
+                },
+                pairs,
+                self.params,
+                band_width=cfg.band_width,
+                k_max=n_pad + m_pad,
+                prepared_cls=PreparedRealign,
+            )
+        return sub, prep.launch()
 
     def _align_batch(
         self, sub, n_pad, m_pad, quals
@@ -343,12 +348,7 @@ class MappingEngine:
             # extension batches scale; backend picked by ops.dispatch
             # (Pallas on TPU, XLA scan elsewhere).  Traceback runs on
             # device too — the direction bands never cross to the host.
-            batch = prep.batch
-            fused = prep.run()
-            logliks = np.asarray(fused["loglik"], np.float64)
-            cigars = traceback_cigars_batch(
-                fused["dirs"], batch.offsets, batch.m, batch.n
-            )
+            logliks, cigars, _ = prep.decode()
         out = []
         for b, (c, cigar) in enumerate(zip(sub, cigars)):
             rec = self._record_from_window_cigar(c, cigar, quals)

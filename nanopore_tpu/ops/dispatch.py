@@ -19,6 +19,7 @@ batches are fine), and the XLA scan elsewhere.  Override with
 from __future__ import annotations
 
 import os
+from typing import NamedTuple
 
 from nanopore_tpu.ops.pairhmm import BandedBatch, KernelParams
 from nanopore_tpu.ops.mea import realign_fused
@@ -43,28 +44,39 @@ def kernel_choice() -> str:
     return "pallas" if platform in _PALLAS_PLATFORMS else "xla"
 
 
+# Band widths the Pallas kernels serve: whole int8 sublane tiles
+# ((32, 128) native int8 tiling), W=64 hardware-validated end to end,
+# W=32 for presets that trade band slack for 2x fewer cells (the
+# reference's own production band was 21 wide: --diagonalExpansion=10).
+_PALLAS_BAND_WIDTHS = (32, 64)
+
+
 def prefer_host_batch(band_width: int = 64) -> bool:
     """True when new banded batches will feed the Pallas repack: build
     them with prepare_banded_batch(device=False) so the band tensors
     stay host-side (the repack re-lays them out and uploads ONE packed
     tensor; uploading first just to pull them back is pure waste on
     remote-device runtimes)."""
-    return kernel_choice() == "pallas" and band_width == 64
+    return (
+        kernel_choice() == "pallas"
+        and band_width in _PALLAS_BAND_WIDTHS
+    )
 
 
 def pallas_eligible(batch: BandedBatch) -> bool:
     """Geometry the fused Pallas kernel serves.  Per-read band offsets
     ride the streamed code top bits, so mixed-band batches need no
-    uniformity check; W=64 is the hardware-validated tile width (the
-    production default throughout — engine.py/em.py band_width=64)."""
-    ok = batch.xc.shape[-1] == 64
+    uniformity check; the band must be a whole number of int8 sublane
+    tiles (W in _PALLAS_BAND_WIDTHS)."""
+    ok = batch.xc.shape[-1] in _PALLAS_BAND_WIDTHS
     if not ok:
         import logging
 
         logging.getLogger(__name__).warning(
-            "pallas kernel skipped: band_width=%d != 64, batch of %d "
-            "falls back to the XLA scan (latency-bound on TPU)",
+            "pallas kernel skipped: band_width=%d not in %s, batch of "
+            "%d falls back to the XLA scan (latency-bound on TPU)",
             batch.xc.shape[-1],
+            _PALLAS_BAND_WIDTHS,
             batch.xc.shape[0],
         )
     return ok
@@ -103,6 +115,72 @@ def _place_batch(batch: BandedBatch, device):
             for f in ("xc", "yc", "xn", "yn", "offsets", "m", "n", "k_end")
         }
     )
+
+
+class LitePack(NamedTuple):
+    """Host-side batch metadata for Pallas-packed pairs.
+
+    The fused direct pack (pack_pallas_pairs) never materialises the
+    (B, K+1, W) band tensors; downstream consumers (traceback, rescore,
+    posterior expectations) only need offsets/m/n — this carries them
+    with the same field names as BandedBatch.
+    """
+
+    offsets: object
+    m: object
+    n: object
+    k_end: object
+    band_width: int
+
+
+def _pairs_k_max(pairs, k_max, step: int = 2048) -> int:
+    """Tighten k_max to the batch's real diagonal need, rounded to a
+    coarse step so jit/kernel shape counts stay bounded.  Power-of-two
+    window bucketing alone leaves up to ~66% of diagonals as sentinel
+    padding (pure wasted pack + upload + device work)."""
+    need = max(len(x) + len(y) for x, y, _ in pairs)
+    tight = -(-need // step) * step
+    return min(k_max, tight) if k_max else tight
+
+
+def prepared_from_pairs(
+    cls_kwargs: dict,
+    pairs,
+    params: KernelParams,
+    band_width: int = 64,
+    k_max: int | None = None,
+    prepared_cls=None,
+):
+    """Build a Prepared* object straight from (ref, read, guide) pairs.
+
+    On the Pallas path the fused direct pack writes the kernel layout
+    in one pass (no BandedBatch); elsewhere a device-resident
+    BandedBatch feeds the XLA scans.  ``cls_kwargs`` are forwarded to
+    the Prepared* constructor.
+    """
+    k_max = _pairs_k_max(pairs, k_max)
+    use_pallas = (
+        kernel_choice() == "pallas" and band_width in _PALLAS_BAND_WIDTHS
+    )
+    if use_pallas:
+        from nanopore_tpu.ops.pairhmm_pallas_realign import (
+            pack_pallas_pairs,
+        )
+
+        prep = pack_pallas_pairs(pairs, params, band_width, k_max)
+        lite = LitePack(
+            offsets=prep["offsets"], m=prep["m"], n=prep["n"],
+            k_end=prep["k_end"], band_width=band_width,
+        )
+        return prepared_cls._from_prep(
+            lite, params, prep, **cls_kwargs
+        )
+    from nanopore_tpu.ops.pairhmm import prepare_banded_batch
+
+    batch = prepare_banded_batch(
+        pairs, band_width=band_width, k_max=k_max, device=True
+    )
+    return prepared_cls(batch, params, **cls_kwargs)
 
 
 def realign_fused_auto(
@@ -162,6 +240,28 @@ class PreparedRealign:
             self.batch = _place_batch(batch, device)
             self._plan = None
 
+    @classmethod
+    def _from_prep(
+        cls, lite: LitePack, params: KernelParams, prep: dict,
+        gap_gamma: float = 0.5, match_gamma: float = 0.0,
+        emit_gamma: bool = False, device=None, emit_em: bool = True,
+    ) -> "PreparedRealign":
+        from nanopore_tpu.ops.pairhmm_pallas_realign import (
+            PallasRealignPlan,
+        )
+
+        self = cls.__new__(cls)
+        self._params = params
+        self._gg = gap_gamma
+        self._mg = match_gamma
+        self._out = None
+        self.batch = lite
+        self._plan = PallasRealignPlan(
+            None, params, gap_gamma, match_gamma, emit_gamma,
+            device=device, emit_em=emit_em, prep=prep,
+        )
+        return self
+
     @property
     def has_gamma(self) -> bool:
         """True when run() will include the gamma_match band (the
@@ -191,6 +291,33 @@ class PreparedRealign:
             out, self._out = self._out, None
             return out
         return self._run()
+
+    def decode(self):
+        """(logliks (B,) float64, cigars, run-output) — realign decode.
+
+        The traceback runs on device against whichever direction layout
+        the backend produced (k-major raw for Pallas, per-read bands
+        for the XLA scan); only op codes cross to the host.
+        """
+        import numpy as np
+
+        from nanopore_tpu.ops.mea import (
+            traceback_cigars_batch,
+            traceback_cigars_raw,
+        )
+
+        out = self.run()
+        if "dirs_raw" in out:
+            cigars = traceback_cigars_raw(
+                out["dirs_raw"], self.batch.offsets, self.batch.m,
+                self.batch.n,
+            )
+        else:
+            cigars = traceback_cigars_batch(
+                out["dirs"], self.batch.offsets, self.batch.m,
+                self.batch.n,
+            )
+        return np.asarray(out["loglik"], np.float64), cigars, out
 
 
 class PreparedEm:
@@ -294,6 +421,25 @@ class PreparedPosteriors:
             self.batch = _place_batch(batch, device)
             self._plan = None
 
+    @classmethod
+    def _from_prep(
+        cls, lite: LitePack, params: KernelParams, prep: dict,
+        device=None,
+    ) -> "PreparedPosteriors":
+        from nanopore_tpu.ops.pairhmm_pallas_realign import (
+            PallasRealignPlan,
+        )
+
+        self = cls.__new__(cls)
+        self._params = params
+        self._out = None
+        self.batch = lite
+        self._plan = PallasRealignPlan(
+            None, params, emit_gamma=True, device=device,
+            emit_em=False, prep=prep,
+        )
+        return self
+
     _out: dict | None = None
 
     def launch(self) -> "PreparedPosteriors":
@@ -356,6 +502,24 @@ class PreparedViterbi:
             self._plan = None
         self._out = None
 
+    @classmethod
+    def _from_prep(
+        cls, lite: LitePack, params: KernelParams, prep: dict,
+        device=None,
+    ) -> "PreparedViterbi":
+        from nanopore_tpu.ops.pairhmm_pallas_viterbi import (
+            PallasViterbiPlan,
+        )
+
+        self = cls.__new__(cls)
+        self._params = params
+        self._out = None
+        self.batch = lite
+        self._plan = PallasViterbiPlan(
+            None, params, device=device, prep=prep
+        )
+        return self
+
     def launch(self) -> "PreparedViterbi":
         if self._out is None:
             if self._plan is not None:
@@ -379,7 +543,7 @@ class PreparedViterbi:
 
             out = self._out
             cigars = viterbi_traceback_batch(
-                out["bp"], self.batch.offsets, self.batch.m,
+                out["bp_raw"], self.batch.offsets, self.batch.m,
                 self.batch.n, out["fstate"],
             )
             return np.asarray(out["score"], np.float64), cigars

@@ -487,6 +487,91 @@ def traceback_cigars_batch(
     return [_rle_ops_row(ops[b]) for b in range(ops.shape[0])]
 
 
+@jax.jit
+def _traceback_ops_raw_jit(dirs_raw, offs_t, m, n):
+    """Raw-layout traceback: dirs in the Pallas kernel's native
+    k-major layout (NB, K1, W, BT) — no (B, K1, W) band transpose
+    (a ~0.7 GB byte-shuffle per batch at production shapes).
+
+    offs_t (K1, NB, BT) int32, m/n (NB, BT).  Returns (K1, NB, BT)
+    int8 op codes (same semantics as _traceback_ops_jit).
+    """
+    from nanopore_tpu.ops.pairhmm import SCAN_UNROLL
+
+    NB, K1, W, BT = dirs_raw.shape
+    dirs_t = jnp.transpose(dirs_raw, (1, 0, 2, 3))  # (K1, NB, W, BT)
+    lanes = jnp.arange(W, dtype=jnp.int32)[None, :, None]
+    m = m.astype(jnp.int32)
+    n = n.astype(jnp.int32)
+    zero = jnp.zeros((NB, BT), jnp.int32)
+
+    def step(carry, xs):
+        i, j, nk = carry
+        dirs_k, off_k, k = xs
+        active = (nk == k) & ((i < m) | (j < n))
+        b = j - off_k
+        in_band = (b >= 0) & (b < W)
+        oh = lanes == b[:, None, :]
+        d = jnp.sum(jnp.where(oh, dirs_k.astype(jnp.int32), 0), axis=1)
+        d = jnp.where(in_band, d, DIR_NONE)
+        can_diag = (d == DIR_DIAG) & (i < m) & (j < n)
+        can_del = (d == DIR_DEL) & (j < n)
+        can_ins = (d == DIR_INS) & (i < m)
+        fb_del = ~(can_diag | can_del | can_ins) & (j < n)
+        op = jnp.where(
+            can_diag, OP_M, jnp.where(can_del | fb_del, OP_D, OP_I)
+        )
+        op = jnp.where(active, op, OP_NONE).astype(jnp.int8)
+        di = (active & ((op == OP_M) | (op == OP_I))).astype(jnp.int32)
+        dj = (active & ((op == OP_M) | (op == OP_D))).astype(jnp.int32)
+        i = i + di
+        j = j + dj
+        nk = jnp.where(active, i + j, nk)
+        return (i, j, nk), op
+
+    xs = (dirs_t, offs_t, jnp.arange(K1, dtype=jnp.int32))
+    _, ops = lax.scan(step, (zero, zero, zero), xs, unroll=SCAN_UNROLL)
+    return ops  # (K1, NB, BT)
+
+
+def traceback_cigars_raw(
+    dirs_raw, offsets, m, n
+) -> list[list[tuple[int, int]]]:
+    """Batched traceback straight off the kernel's k-major direction
+    layout (PallasRealignPlan run()["dirs_raw"]).  Only the per-diagonal
+    op matrix crosses to the host; pinned to traceback_cigars_batch /
+    mea_traceback_fwd semantics by tests."""
+    import jax.numpy as jnp
+
+    NB, K1, W, BT = dirs_raw.shape
+    offsets = np.asarray(offsets)
+    m = np.asarray(m)
+    n = np.asarray(n)
+    B = m.shape[0]
+    offs = np.zeros((NB * BT, K1), np.int32)
+    ko = min(offsets.shape[1], K1)
+    offs[:B, :ko] = offsets[:, :ko]
+    if ko < K1:  # raw tensor spans k_pad; offsets are constant past K
+        offs[:B, ko:] = offsets[:, -1:]
+    offs_t = np.ascontiguousarray(
+        offs.reshape(NB, BT, K1).transpose(2, 0, 1)
+    )
+    mm = np.zeros(NB * BT, np.int32)
+    mm[:B] = m
+    nn = np.zeros(NB * BT, np.int32)
+    nn[:B] = n
+    ops = np.asarray(
+        _traceback_ops_raw_jit(
+            jnp.asarray(dirs_raw),
+            jnp.asarray(offs_t),
+            jnp.asarray(mm.reshape(NB, BT)),
+            jnp.asarray(nn.reshape(NB, BT)),
+        )
+    )  # (K1, NB, BT)
+    ops_b = ops.transpose(1, 2, 0).reshape(NB * BT, K1)
+    return [_rle_ops_row(ops_b[b]) for b in range(B)]
+
+
 def mea_traceback_fwd(
     dirs: np.ndarray, offsets: np.ndarray, m: int, n: int
 ) -> list[tuple[int, int]]:

@@ -805,6 +805,101 @@ def _realign_kernel(
         eins_ref[:, :] = jnp.zeros((1, BT), jnp.float32)
 
 
+def pack_pallas_pairs(
+    pairs: list[tuple[np.ndarray, np.ndarray, list[tuple[int, int]]]],
+    params: KernelParams,
+    band_width: int = 64,
+    k_max: int | None = None,
+) -> dict:
+    """Fused host pack: (ref, read, guide) pairs -> kernel inputs.
+
+    Produces byte-identical tensors to
+    ``prepare_pallas_realign(prepare_banded_batch(pairs, ...))`` in ONE
+    per-read pass writing directly into the (NB, k_pad, W, BT) layout —
+    no intermediate (B, K+1, W) band tensors, no xn/yn gathers (the
+    fused kernel never reads them), no whole-tensor repack.  At e2e
+    shapes this is the difference between ~54 s and ~4 s of host work
+    per 128-read batch (the round-3 e2e bottleneck), which is what the
+    prefetch pipeline must hide behind a ~0.1 s kernel.
+
+    Also returns the host-side offsets/m/n/k_end the traceback and
+    posterior consumers need (the LitePack contract in ops.dispatch).
+    """
+    from nanopore_tpu.ops.pairhmm import band_offsets_from_cigar
+
+    W = band_width
+    B = len(pairs)
+    ms = np.array([len(y) for _, y, _ in pairs], np.int32)
+    ns = np.array([len(x) for x, _, _ in pairs], np.int32)
+    K = int(k_max if k_max is not None else (ms + ns).max())
+    k_pad = -(-K // CHUNK) * CHUNK
+    B_pad = -(-B // BT) * BT
+    NB = B_pad // BT
+    sent = (5 << 3) | 5
+
+    xyc = np.full((NB, k_pad, W, BT), sent, np.uint8)
+    offsets = np.zeros((B, k_pad + 1), np.int32)
+    karr = np.arange(1, k_pad + 1, dtype=np.int32)[:, None]
+    bidx = np.arange(W, dtype=np.int32)[None, :]
+    for b, (x, y, cig) in enumerate(pairs):
+        x = np.asarray(x)
+        y = np.asarray(y)
+        m, n = len(y), len(x)
+        o = band_offsets_from_cigar(cig, m, n, W, k_pad)
+        offsets[b] = o
+        j = o[1:, None] + bidx  # (k_pad, W) ref coord at diag k=r+1
+        i = karr - j
+        inv = (j < 0) | (j > n) | (i < 0) | (i > m)
+        jm = j - 1
+        im = i - 1
+        xv = np.where(
+            inv | (jm < 0) | (jm >= n),
+            np.uint8(5),
+            x[np.clip(jm, 0, max(n - 1, 0))].astype(np.uint8),
+        )
+        yv = np.where(
+            inv | (im < 0) | (im >= m),
+            np.uint8(5),
+            y[np.clip(im, 0, max(m - 1, 0))].astype(np.uint8),
+        )
+        pk = (xv << 3) | yv
+        d1 = (o[1:] - o[:-1]).astype(np.uint8)  # d1[k-1] = o[k]-o[k-1]
+        pk |= d1[:, None] << 6  # bit 6: d1 of this diagonal
+        pk[1:] |= d1[:-1, None] << 7  # bit 7: previous diagonal's d1
+        xyc[b // BT, :, :, b % BT] = pk
+
+    tf, emf, egf = _param_scalars(params)
+    kend = np.full(B_pad, -1, np.int32)
+    kend[:B] = (ms + ns).astype(np.int32)
+    return {
+        "xyc": xyc.view(np.int8),
+        "tf": tf,
+        "emf": emf,
+        "egf": egf,
+        "kend": kend.reshape(NB, 1, BT),
+        "k_pad": k_pad,
+        "B": B,
+        "K": K,
+        "NB": NB,
+        "W": W,
+        "offsets": offsets,
+        "m": ms,
+        "n": ns,
+        "k_end": (ms + ns).astype(np.int32),
+    }
+
+
+def dirs_band_from_raw(dirs_raw, B: int, K: int) -> np.ndarray:
+    """Host convenience: k-major (NB, K1, W, BT) -> per-read
+    (B, K+1, W) direction bands (tests/probes only — production
+    traceback consumes the raw layout on device)."""
+    arr = np.asarray(dirs_raw)
+    NB, K1, W, BT = arr.shape
+    return (
+        arr.transpose(0, 3, 1, 2).reshape(NB * BT, K1, W)[:B, : K + 1]
+    )
+
+
 @jax.jit
 def _yc_from_xyc(xyc):
     """Recover the (B_pad, k_pad+1, W) read-code band y[i-1] from the
@@ -1026,9 +1121,6 @@ def _pallas_realign_call(
     def lanes(x):  # (NB, R, BT) -> (NB*BT, R)
         return jnp.transpose(x, (0, 2, 1)).reshape(x.shape[0] * BT, -1)
 
-    dirs_b = jnp.transpose(
-        dirs.reshape(NB, k_pad + 1, W, BT), (0, 3, 1, 2)
-    ).reshape(-1, k_pad + 1, W)
     ll = lanes(loglik)[:, 0]
     sc = lanes(score)[:, 0]
     out = {
@@ -1038,7 +1130,12 @@ def _pallas_realign_call(
         # a single device->host round trip (the remote runtime charges
         # ~23 ms per pull)
         "ll_score": jnp.stack([ll, sc]),
-        "dirs": dirs_b,
+        # direction codes stay in the kernel's native k-major layout
+        # (NB, K1, W, BT): transposing the full band to (B, K1, W)
+        # costs ~0.7 GB of byte-shuffle per call at B=1024 and the
+        # on-device traceback consumes k-major slices anyway
+        # (ops.mea.traceback_cigars_raw)
+        "dirs_raw": dirs.reshape(NB, k_pad + 1, W, BT),
     }
     if emit_em:
         trans_b = lanes(trans).reshape(-1, 5, 5)
@@ -1074,15 +1171,17 @@ class PallasRealignPlan:
 
     def __init__(
         self,
-        batch: BandedBatch,
+        batch: BandedBatch | None,
         params: KernelParams,
         gap_gamma: float = 0.5,
         match_gamma: float = 0.0,
         emit_gamma: bool = False,
         device=None,
         emit_em: bool = True,
+        prep: dict | None = None,
     ):
-        prep = prepare_pallas_realign(batch, params)
+        if prep is None:
+            prep = prepare_pallas_realign(batch, params)
         self.emit_gamma = emit_gamma
         self.emit_em = emit_em
         self.device = device
@@ -1132,7 +1231,10 @@ class PallasRealignPlan:
             "loglik": out["loglik"][:B],
             "score": out["score"][:B],
             "ll_score": out["ll_score"][:, :B],
-            "dirs": out["dirs"][:B, : K + 1],
+            # native k-major layout; decode with
+            # ops.mea.traceback_cigars_raw, or dirs_band_from_raw for
+            # per-read (K+1, W) bands (tests/probes)
+            "dirs_raw": out["dirs_raw"],
         }
         if self.emit_em:
             res["trans"] = out["trans"][:B]

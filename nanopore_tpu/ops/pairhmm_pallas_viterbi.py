@@ -363,13 +363,14 @@ def _pallas_viterbi_call(
     def lanes(x):
         return jnp.transpose(x, (0, 2, 1)).reshape(x.shape[0] * BT, -1)
 
-    bp_b = jnp.transpose(
-        bp.reshape(NB, k_pad + 1, 2, W, BT), (0, 4, 1, 2, 3)
-    ).reshape(-1, k_pad + 1, 2, W)
     return {
         "score": lanes(score)[:, 0],
         "fstate": lanes(fstate)[:, 0].astype(jnp.int32),
-        "bp": bp_b,  # (B_pad, K_pad+1, 2, W) planes, row k = diagonal k
+        # native k-major layout (NB, K1, 2, W, BT); the on-device
+        # traceback consumes it directly — transposing the full plane
+        # tensor to per-read bands costs ~seconds of byte-shuffle at
+        # production batch sizes
+        "bp_raw": bp.reshape(NB, k_pad + 1, 2, W, BT),
     }
 
 
@@ -377,9 +378,10 @@ class PallasViterbiPlan:
     """Device-resident inputs for the Viterbi kernel (cf.
     PallasRealignPlan — same packed code stream, log-space tables)."""
 
-    def __init__(self, batch: BandedBatch, params: KernelParams,
-                 device=None):
-        prep = prepare_pallas_realign(batch, params)
+    def __init__(self, batch: BandedBatch | None, params: KernelParams,
+                 device=None, prep: dict | None = None):
+        if prep is None:
+            prep = prepare_pallas_realign(batch, params)
         self.device = device
         put = (
             jnp.asarray
@@ -401,11 +403,11 @@ class PallasViterbiPlan:
         out = _pallas_viterbi_call(
             *self.arrays, self.k_pad, self.NB, self.W, interpret
         )
-        B, K = self.B, self.K
+        B = self.B
         return {
             "score": out["score"][:B],
             "fstate": out["fstate"][:B],
-            "bp": out["bp"][:B, : K + 1],
+            "bp_raw": out["bp_raw"],
         }
 
 
@@ -430,19 +432,21 @@ _OP_TO_CIG = {OP_M: CIG.M, OP_D: CIG.D, OP_I: CIG.I}
 
 
 @jax.jit
-def _viterbi_ops_jit(bp, offsets, m, n, fstate):
-    """Walk the Viterbi path backward over descending diagonals.
+def _viterbi_ops_raw_jit(bp_raw, offs_t, m, n, fstate):
+    """Walk the Viterbi path backward over descending diagonals,
+    consuming the kernel's native k-major plane layout
+    (NB, K1, 2, W, BT) — no per-read band transpose.
 
-    bp (B, K1, 2, W) packed planes; returns (B, K1) int8 op codes where
-    column k holds the move taken INTO diagonal k's path cell (OP_NONE
-    off-path).  Band reads are one-hot contractions (no gathers).
+    offs_t (K1, NB, BT) int32, m/n/fstate (NB, BT).  Returns
+    ((fi, fj), ops (K1, NB, BT) int8) where column k holds the move
+    taken INTO diagonal k's path cell (OP_NONE off-path).  Band reads
+    are one-hot contractions (no gathers).
     """
     from nanopore_tpu.ops.pairhmm import SCAN_UNROLL
 
-    B, K1, _, W = bp.shape
-    bp_t = jnp.transpose(bp, (1, 0, 2, 3)).astype(jnp.int32)  # (K1,B,2,W)
-    offs_t = jnp.swapaxes(offsets, 0, 1).astype(jnp.int32)  # (K1, B)
-    lanes = jnp.arange(W, dtype=jnp.int32)
+    NB, K1, _, W, BT = bp_raw.shape
+    bp_t = jnp.transpose(bp_raw, (1, 0, 2, 3, 4))  # (K1, NB, 2, W, BT)
+    lanes = jnp.arange(W, dtype=jnp.int32)[None, :, None]
     m = m.astype(jnp.int32)
     n = n.astype(jnp.int32)
 
@@ -453,9 +457,10 @@ def _viterbi_ops_jit(bp, offsets, m, n, fstate):
         at_origin = (i == 0) & (j == 0)
         act = active & ~at_origin
         b = j - off_k
-        oh = (lanes[None, :] == b[:, None]).astype(jnp.int32)
-        p0 = jnp.sum(bp_k[:, 0, :] * oh, axis=1)
-        p1 = jnp.sum(bp_k[:, 1, :] * oh, axis=1)
+        oh = lanes == b[:, None, :]  # (NB, W, BT)
+        bp32 = bp_k.astype(jnp.int32)
+        p0 = jnp.sum(jnp.where(oh, bp32[:, 0], 0), axis=1)
+        p1 = jnp.sum(jnp.where(oh, bp32[:, 1], 0), axis=1)
         prev = jnp.where(
             s == 0, p0 % 5,
             jnp.where(
@@ -480,31 +485,53 @@ def _viterbi_ops_jit(bp, offsets, m, n, fstate):
     (fi, fj, _), ops_rev = lax.scan(
         step, (m, n, fstate.astype(jnp.int32)), xs, unroll=SCAN_UNROLL
     )
-    return ops_rev[::-1].swapaxes(0, 1), fi, fj  # (B, K1)
+    return ops_rev[::-1], fi, fj
 
 
 def viterbi_traceback_batch(
-    bp, offsets, m, n, fstate
+    bp_raw, offsets, m, n, fstate
 ) -> list[list[tuple[int, int]]]:
     """Batched device traceback -> per-read global cigars.
 
+    ``bp_raw`` is the plan's k-major plane tensor; ``offsets/m/n`` are
+    the host batch metadata and ``fstate`` the (B,) final states.
     Pinned to ops.viterbi.viterbi_traceback (host walk) by tests; only
-    the (B, K1) op matrix crosses to the host.
+    the (K1, NB, BT) op matrix crosses to the host.
     """
-    ops, fi, fj = _viterbi_ops_jit(
-        jnp.asarray(bp),
-        jnp.asarray(offsets),
-        jnp.asarray(m),
-        jnp.asarray(n),
-        jnp.asarray(fstate),
+    NB, K1, _, W, BT = bp_raw.shape
+    offsets = np.asarray(offsets)
+    m = np.asarray(m)
+    n = np.asarray(n)
+    fstate = np.asarray(fstate)
+    B = m.shape[0]
+    offs = np.zeros((NB * BT, K1), np.int32)
+    ko = min(offsets.shape[1], K1)
+    offs[:B, :ko] = offsets[:, :ko]
+    if ko < K1:  # raw tensor spans k_pad; offsets are constant past K
+        offs[:B, ko:] = offsets[:, -1:]
+    offs_t = np.ascontiguousarray(
+        offs.reshape(NB, BT, K1).transpose(2, 0, 1)
     )
-    ops = np.asarray(ops)
-    fi = np.asarray(fi)
-    fj = np.asarray(fj)
+    mm = np.zeros(NB * BT, np.int32)
+    mm[:B] = m
+    nn = np.zeros(NB * BT, np.int32)
+    nn[:B] = n
+    fs = np.zeros(NB * BT, np.int32)
+    fs[:B] = fstate
+    ops, fi, fj = _viterbi_ops_raw_jit(
+        jnp.asarray(bp_raw),
+        jnp.asarray(offs_t),
+        jnp.asarray(mm.reshape(NB, BT)),
+        jnp.asarray(nn.reshape(NB, BT)),
+        jnp.asarray(fs.reshape(NB, BT)),
+    )
+    ops_b = np.asarray(ops).transpose(1, 2, 0).reshape(NB * BT, K1)
+    fi = np.asarray(fi).reshape(-1)
+    fj = np.asarray(fj).reshape(-1)
     out = []
-    for b in range(ops.shape[0]):
+    for b in range(B):
         assert fi[b] == 0 and fj[b] == 0, "viterbi traceback left the band"
-        sel = ops[b][ops[b] != OP_NONE]
+        sel = ops_b[b][ops_b[b] != OP_NONE]
         cigar: list[tuple[int, int]] = []
         for op in sel:
             cop = _OP_TO_CIG[int(op)]

@@ -204,7 +204,9 @@ def posterior_expectations_batch(
     out = []
     for b in range(retired.shape[0]):
         n = int(ns[b])
-        e = np.zeros((n, 4))
+        # f32 keeps B×refLen×4 host matrices affordable at scale; the
+        # caller's accumulation across reads is f64
+        e = np.zeros((n, 4), np.float32)
         accumulate_expectations(
             e, retired[b], flush[b], offsets[b], d1[b], n
         )

@@ -54,7 +54,7 @@ void pairhmm_cpu_realign_one(
     const int32_t* offsets, int64_t K1, int32_t W,
     int32_t m, int32_t n, int32_t kend,
     const float* t, const float* e_match, const float* e_gap,
-    float gap_gamma, float match_gamma,
+    float gap_gamma, float match_gamma, int32_t emit_em,
     float* loglik_out, float* score_out, float* trans_out,
     float* emis16_out, float* edel_out, float* eins_out, int8_t* dirs) {
     const int64_t K = K1 - 1;
@@ -223,7 +223,7 @@ void pairhmm_cpu_realign_one(
         const float* fk = f.data() + (size_t)k * SW;
         const float factor_trans = (float)std::exp(
             clampd(lsf[k] + lsb1 - loglik, -80.0, 80.0));
-        if (factor_trans > 0) {
+        if (emit_em && factor_trans > 0) {
             for (int s = 0; s < NS; ++s) {
                 for (int tt = 0; tt < NS; ++tt) {
                     float acc = 0;
@@ -249,15 +249,17 @@ void pairhmm_cpu_realign_one(
                              g_factor;
             const float g4 = fk[(size_t)4 * W + w] * bn[(size_t)4 * W + w] *
                              g_factor;
-            const int xcv = xck[w], ycv = yck[w];
-            if (xcv < 4 && ycv < 4) e16[xcv * 4 + ycv] += (double)g0;
-            if (xcv < 4) {
-                edel[0 * 4 + xcv] += (double)g1;
-                edel[1 * 4 + xcv] += (double)g3;
-            }
-            if (ycv < 4) {
-                eins[0 * 4 + ycv] += (double)g2;
-                eins[1 * 4 + ycv] += (double)g4;
+            if (emit_em) {
+                const int xcv = xck[w], ycv = yck[w];
+                if (xcv < 4 && ycv < 4) e16[xcv * 4 + ycv] += (double)g0;
+                if (xcv < 4) {
+                    edel[0 * 4 + xcv] += (double)g1;
+                    edel[1 * 4 + xcv] += (double)g3;
+                }
+                if (ycv < 4) {
+                    eins[0 * 4 + ycv] += (double)g2;
+                    eins[1 * 4 + ycv] += (double)g4;
+                }
             }
             ngm[w] = g0;
             ngd[w] = g1 + g3;
@@ -322,7 +324,7 @@ void pairhmm_cpu_realign_batch(
     const int32_t* offsets, int64_t B, int64_t K1, int32_t W,
     const int32_t* m, const int32_t* n, const int32_t* kend,
     const float* t, const float* e_match, const float* e_gap,
-    float gap_gamma, float match_gamma,
+    float gap_gamma, float match_gamma, int32_t emit_em,
     float* loglik_out, float* score_out, float* trans_out,
     float* emis16_out, float* edel_out, float* eins_out, int8_t* dirs) {
     const int64_t band = K1 * W;
@@ -330,7 +332,8 @@ void pairhmm_cpu_realign_batch(
         pairhmm_cpu_realign_one(
             xc + b * band, yc + b * band, xn + b * band, yn + b * band,
             offsets + b * K1, K1, W, m[b], n[b], kend[b], t, e_match,
-            e_gap, gap_gamma, match_gamma, loglik_out + b, score_out + b,
+            e_gap, gap_gamma, match_gamma, emit_em,
+            loglik_out + b, score_out + b,
             trans_out + b * 25, emis16_out + b * 16, edel_out + b * 8,
             eins_out + b * 8, dirs + b * band);
     }

@@ -73,7 +73,7 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
             i32p, i32p, i32p,
             f32p, f32p, f32p,
-            ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.c_int32,
             f32p, f32p, f32p, f32p, f32p, f32p, i8p,
         ]
         _lib = lib
@@ -82,13 +82,17 @@ def get_lib():
 
 
 def cpu_realign_batch(
-    batch, params, gap_gamma: float = 0.5, match_gamma: float = 0.0
+    batch, params, gap_gamma: float = 0.5, match_gamma: float = 0.0,
+    emit_em: bool = True,
 ) -> dict | None:
     """Run the single-core fused realign over a BandedBatch.
 
     Returns dict(loglik (B,), score (B,), trans (B,5,5), emis (B,5,16),
     dirs (B,K+1,W)) matching ops.mea.realign_fused, or None when the
-    native library is unavailable.
+    native library is unavailable.  ``emit_em=False`` skips the
+    Baum-Welch expectation accumulation — the decode-only workload that
+    matches what ``cactus_realign`` itself computes (utils.py:587) and
+    the TPU kernels' emit_em=False variant.
     """
     lib = get_lib()
     if lib is None:
@@ -119,6 +123,7 @@ def cpu_realign_batch(
     lib.pairhmm_cpu_realign_batch(
         xc, yc, xn, yn, offsets, B, K1, W, m, n, kend,
         t, e_match, e_gap, float(gap_gamma), float(match_gamma),
+        int(emit_em),
         loglik, score, trans, e16, edel, eins, dirs,
     )
     emis = np.zeros((B, 5, 16), np.float32)

@@ -82,8 +82,13 @@ def main():
                   % (key, rel(p_out[key], oracle[key])), flush=True)
         print("pallas trans   rel %.3e" % rel(
             p_out["trans"].reshape(B, 25), oracle["trans"]), flush=True)
+        from nanopore_tpu.ops.pairhmm_pallas_realign import (
+            dirs_band_from_raw,
+        )
+
+        p_dirs = dirs_band_from_raw(p_out["dirs_raw"], B, 2 * L)
         print("dirs mismatches: %d"
-              % int((p_out["dirs"][:, : batch.offsets.shape[1]]
+              % int((p_dirs[:, : batch.offsets.shape[1]]
                      != np.asarray(x_out["dirs"])).sum()), flush=True)
     return 0
 

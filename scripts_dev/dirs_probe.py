@@ -79,7 +79,13 @@ def main():
     t0 = time.time()
     plan = PallasRealignPlan(batch, params)
     p_out = plan.run()
-    p_dirs = np.asarray(p_out["dirs"])[:, : offsets.shape[1]]
+    from nanopore_tpu.ops.pairhmm_pallas_realign import (
+        dirs_band_from_raw,
+    )
+
+    p_dirs = dirs_band_from_raw(p_out["dirs_raw"], B, 2 * L)[
+        :, : offsets.shape[1]
+    ]
     print("pallas %.0fs" % (time.time() - t0), flush=True)
 
     mism = p_dirs != x_dirs

@@ -85,7 +85,10 @@ def main():
     }
     print("xla %.0fs" % (time.time() - t0), flush=True)
 
-    from nanopore_tpu.ops.pairhmm_pallas_realign import PallasRealignPlan
+    from nanopore_tpu.ops.pairhmm_pallas_realign import (
+        PallasRealignPlan,
+        dirs_band_from_raw,
+    )
 
     t0 = time.time()
     plan = PallasRealignPlan(batch, params, emit_gamma=gamma_check)
@@ -107,7 +110,9 @@ def main():
 
     # dirs census: every Pallas-vs-XLA disagreement must be an argmax
     # tie — the traceback cigars must be byte-identical
-    dirs_p = outs["pallas"]["dirs"][:, :K1]
+    dirs_p = dirs_band_from_raw(outs["pallas"]["dirs_raw"], B, 2 * L)[
+        :, :K1
+    ]
     dirs_x = outs["xla"]["dirs"]
     n_diff = int((dirs_p != dirs_x).sum())
     cigar_equal = 0
@@ -140,13 +145,24 @@ def main():
             i = ks - j
             m, n = len(pairs[b][1]), len(pairs[b][0])
             valid = (i >= 1) & (i <= m) & (j >= 1) & (j <= n)
-            errs.append(
-                float(
-                    np.max(
-                        np.abs(gm_got[b][valid] - gm_want[b][valid])
-                    )
+            diff = np.where(valid, np.abs(gm_got[b] - gm_want[b]), 0.0)
+            errs.append(float(diff.max()))
+            bad = diff > 1e-2
+            if bad.any():
+                kk, ww = np.nonzero(bad)
+                amax = np.unravel_index(np.argmax(diff), diff.shape)
+                print(
+                    "  read %d: %d bad cells; k in [%d, %d] (mod SEG=16:"
+                    " %s), w in [%d, %d]; argmax at k=%d w=%d "
+                    "got=%.4g want=%.4g"
+                    % (
+                        b, bad.sum(), kk.min(), kk.max(),
+                        sorted(set((kk % 16).tolist()))[:8],
+                        ww.min(), ww.max(), amax[0], amax[1],
+                        gm_got[b][amax], gm_want[b][amax],
+                    ),
+                    flush=True,
                 )
-            )
         result["gamma_match_max_abs_err"] = max(errs)
         print("gamma max abs err:", max(errs), flush=True)
 

@@ -55,12 +55,20 @@ def main() -> int:
     out = cpu_realign_batch(batch, params)  # warm (build + touch pages)
     assert out is not None, "native baseline failed to build"
     reps = 3
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        cpu_realign_batch(batch, params)
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+
+    def best_time(**kw):
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            cpu_realign_batch(batch, params, **kw)
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    best = best_time()
+    # decode-only twin (emit_em=False): what cactus_realign itself
+    # computes per read (utils.py:587) — baseline for the TPU kernels'
+    # emit_em=False mapping/realign decode numbers
+    best_decode = best_time(emit_em=False)
     k_total = int(np.asarray(batch.k_end).sum())
     cells = k_total * W
     cells_per_sec = cells / best
@@ -72,6 +80,8 @@ def main() -> int:
         "read_length": L,
         "band_width": W,
         "seconds_per_batch": round(best, 4),
+        "decode_cells_per_sec": round(cells / best_decode, 1),
+        "decode_reads_per_sec": round(B / best_decode, 3),
         "implementation": "single-core C++ fused realign "
         "(nanopore_tpu/runtime/native/pairhmm_cpu.cpp, "
         "-O3 -march=native -ffast-math)",

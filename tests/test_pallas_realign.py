@@ -17,7 +17,10 @@ from nanopore_tpu.ops.pairhmm import (
 )
 from nanopore_tpu.ops.mea import mea_traceback_fwd, realign_fused
 import nanopore_tpu.ops.pairhmm_pallas_realign as ppr
-from nanopore_tpu.ops.pairhmm_pallas_realign import pallas_realign_fused
+from nanopore_tpu.ops.pairhmm_pallas_realign import (
+    dirs_band_from_raw,
+    pallas_realign_fused,
+)
 
 
 @pytest.fixture(scope="module", autouse=True)
@@ -74,14 +77,15 @@ class TestPallasRealign:
             rtol=2e-3, atol=1e-5,
         )
         offsets = np.asarray(batch.offsets)
+        got_dirs = dirs_band_from_raw(
+            got["dirs_raw"], len(pairs), batch.k_max
+        )
         for b, (x, y, _) in enumerate(pairs):
             m, n = len(y), len(x)
             want_cig = mea_traceback_fwd(
                 np.asarray(want["dirs"])[b], offsets[b], m, n
             )
-            got_cig = mea_traceback_fwd(
-                np.asarray(got["dirs"])[b], offsets[b], m, n
-            )
+            got_cig = mea_traceback_fwd(got_dirs[b], offsets[b], m, n)
             assert cigar_to_string(got_cig) == cigar_to_string(want_cig)
 
     def test_with_n_bases_and_indel_guide(self, params):
@@ -107,11 +111,12 @@ class TestPallasRealign:
             rtol=2e-3, atol=1e-5,
         )
         offsets = np.asarray(batch.offsets)
+        got_dirs = dirs_band_from_raw(
+            got["dirs_raw"], len(pairs), batch.k_max
+        )
         for b, (x, y, _) in enumerate(pairs):
             m, n = len(y), len(x)
-            cig = mea_traceback_fwd(
-                np.asarray(got["dirs"])[b], offsets[b], m, n
-            )
+            cig = mea_traceback_fwd(got_dirs[b], offsets[b], m, n)
             assert sum(l for op, l in cig if op in (CIG.M, CIG.I)) == m
             assert sum(l for op, l in cig if op in (CIG.M, CIG.D)) == n
 
@@ -155,14 +160,15 @@ class TestPallasRealign:
             np.asarray(got["emis"]), np.asarray(want["emis"]),
             rtol=2e-3, atol=1e-5,
         )
+        got_dirs = dirs_band_from_raw(
+            got["dirs_raw"], len(pairs), batch.k_max
+        )
         for b, (x, y, _) in enumerate(pairs):
             m, n = len(y), len(x)
             want_cig = mea_traceback_fwd(
                 np.asarray(want["dirs"])[b], offsets[b], m, n
             )
-            got_cig = mea_traceback_fwd(
-                np.asarray(got["dirs"])[b], offsets[b], m, n
-            )
+            got_cig = mea_traceback_fwd(got_dirs[b], offsets[b], m, n)
             assert cigar_to_string(got_cig) == cigar_to_string(want_cig)
 
     def test_emit_gamma_matches_forward_backward(self, params):
@@ -233,7 +239,9 @@ class TestPallasRealign:
             np.testing.assert_allclose(
                 np.asarray(lean[key]), np.asarray(full[key]), rtol=1e-6
             )
-        assert (np.asarray(lean["dirs"]) == np.asarray(full["dirs"])).all()
+        assert (
+            np.asarray(lean["dirs_raw"]) == np.asarray(full["dirs_raw"])
+        ).all()
         np.testing.assert_allclose(
             np.asarray(lean["gamma_match"]),
             np.asarray(full["gamma_match"]),
@@ -246,6 +254,39 @@ class TestPallasRealign:
             ),
             rtol=0,
         )
+
+    def test_direct_pack_bit_identical(self, params):
+        """pack_pallas_pairs (the fused one-pass host pack feeding
+        prepared_from_pairs) must produce byte-identical kernel inputs
+        to prepare_pallas_realign over a prepare_banded_batch — same
+        codes, same band-delta bits, same lane layout."""
+        from nanopore_tpu.ops.pairhmm_pallas_realign import (
+            pack_pallas_pairs,
+            prepare_pallas_realign,
+        )
+
+        rng = np.random.default_rng(37)
+        pairs = []
+        for i in range(5):
+            L = int(rng.integers(20, 60))
+            x = rng.integers(0, 4, L).astype(np.int8)
+            y = x[: L - 6].copy()
+            if i % 2:
+                y[2] = 4  # N base
+            guide = [(CIG.M, L // 2), (CIG.D, 6), (CIG.M, L - 6 - L // 2)]
+            pairs.append((x, y, guide))
+        batch = prepare_banded_batch(
+            pairs, band_width=8, k_max=128, device=False
+        )
+        want = prepare_pallas_realign(batch, params)
+        got = pack_pallas_pairs(pairs, params, band_width=8, k_max=128)
+        for key in ("xyc", "kend", "tf", "emf", "egf"):
+            assert (np.asarray(want[key]) == np.asarray(got[key])).all(), key
+        for key in ("k_pad", "B", "K", "NB", "W"):
+            assert want[key] == got[key], key
+        assert (got["offsets"] == np.asarray(batch.offsets)).all()
+        assert (got["m"] == np.asarray(batch.m)).all()
+        assert (got["k_end"] == np.asarray(batch.k_end)).all()
 
     def test_update_params_matches_fresh_plan(self, params):
         """EM reuse contract (ops.dispatch.PreparedEm): swapping the
@@ -270,7 +311,9 @@ class TestPallasRealign:
             np.testing.assert_allclose(
                 np.asarray(got[key]), np.asarray(want[key]), rtol=1e-6
             )
-        assert (np.asarray(got["dirs"]) == np.asarray(want["dirs"])).all()
+        assert (
+            np.asarray(got["dirs_raw"]) == np.asarray(want["dirs_raw"])
+        ).all()
 
     @pytest.mark.skipif(
         not __import__("os").environ.get("NANOPORE_TPU_SLOW_TESTS"),

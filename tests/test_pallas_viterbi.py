@@ -77,7 +77,7 @@ class TestPallasViterbi:
         ).all()
         offsets = np.asarray(batch.offsets)
         cigars = viterbi_traceback_batch(
-            got["bp"], offsets, batch.m, batch.n, got["fstate"]
+            got["bp_raw"], offsets, batch.m, batch.n, got["fstate"]
         )
         bps_x = np.asarray(bps_x)
         for b, (x, y, _) in enumerate(pairs):
@@ -98,7 +98,7 @@ class TestPallasViterbi:
         batch = prepare_banded_batch([(x, y, [(CIG.M, L)])], band_width=8)
         got = pallas_viterbi(batch, params, interpret=True)
         cigars = viterbi_traceback_batch(
-            got["bp"], np.asarray(batch.offsets), batch.m, batch.n,
+            got["bp_raw"], np.asarray(batch.offsets), batch.m, batch.n,
             got["fstate"],
         )
         m = sum(l for op, l in cigars[0] if op in (CIG.M, CIG.I))
