@@ -62,7 +62,6 @@ def realign_records(
     when ``rescore`` (the --rescoreByPosteriorProbIgnoringGaps analogue),
     else an empty list.
     """
-    from nanopore_tpu.runtime.prefetch import prefetched
     from nanopore_tpu.ops.dispatch import kernel_choice
     from nanopore_tpu.ops.posteriors import rescore_cigars
 
@@ -86,51 +85,54 @@ def realign_records(
     # its kernel runs there; async dispatch keeps all chips busy)
     devices = local_dp_devices()
 
-    def prepared_batches():
-        """Pack + launch on the prefetch thread: the host pack (fused
-        direct pack on TPU, ops.dispatch.prepared_from_pairs) and the
-        async kernel dispatch overlap the previous batch's consumption
-        instead of serialising behind it."""
-        bi = 0
+    import itertools
+
+    ref_codes = {name: encode(seq) for name, seq in ref_seqs.items()}
+    bi = itertools.count()
+
+    def batch_descriptors():
         for (n_pad, m_pad), idxs in buckets.items():
             for s in range(0, len(idxs), batch_size):
-                sub = idxs[s : s + batch_size]
-                pairs = []
-                for idx in sub:
-                    rec = records[idx]
-                    x = encode(ref_seqs[rec.rname])
-                    y = encode(rec.seq)
-                    assert (
-                        rec.pos == 0
-                    ), "realign requires chained global records"
-                    pairs.append((x, y, rec.cigar))
-                if rescore and not pallas_rescore:
-                    yield sub, prepare_banded_batch(
-                        pairs,
-                        band_width=band_width,
-                        k_max=n_pad + m_pad,
-                        n_pad_to=n_pad,
-                        m_pad_to=m_pad,
-                    )
-                else:
-                    yield sub, prepared_from_pairs(
-                        {
-                            "gap_gamma": gap_gamma,
-                            "match_gamma": match_gamma,
-                            "emit_gamma": rescore,
-                            "device": devices[bi % len(devices)],
-                            "emit_em": False,  # decode: no expectations
-                        },
-                        pairs,
-                        params,
-                        band_width=band_width,
-                        k_max=n_pad + m_pad,
-                        prepared_cls=PreparedRealign,
-                    ).launch()
-                    bi += 1
+                yield idxs[s : s + batch_size], (n_pad, m_pad)
 
-    for sub, prepared in prefetched(
-        prepared_batches(), depth=max(2, len(devices) + 1)
+    def build(desc):
+        """Pack + launch, run on the prefetched_map worker pool: the
+        host pack (fused direct pack on TPU,
+        ops.dispatch.prepared_from_pairs) and the async kernel dispatch
+        of several batches overlap each other and the consumer."""
+        sub, (n_pad, m_pad) = desc
+        pairs = []
+        for idx in sub:
+            rec = records[idx]
+            assert rec.pos == 0, "realign requires chained global records"
+            pairs.append((ref_codes[rec.rname], encode(rec.seq), rec.cigar))
+        if rescore and not pallas_rescore:
+            return sub, prepare_banded_batch(
+                pairs,
+                band_width=band_width,
+                k_max=n_pad + m_pad,
+                n_pad_to=n_pad,
+                m_pad_to=m_pad,
+            )
+        return sub, prepared_from_pairs(
+            {
+                "gap_gamma": gap_gamma,
+                "match_gamma": match_gamma,
+                "emit_gamma": rescore,
+                "device": devices[next(bi) % len(devices)],
+                "emit_em": False,  # decode: no expectations
+            },
+            pairs,
+            params,
+            band_width=band_width,
+            k_max=n_pad + m_pad,
+            prepared_cls=PreparedRealign,
+        ).launch()
+
+    from nanopore_tpu.runtime.prefetch import prefetched_map
+
+    for sub, prepared in prefetched_map(
+        build, batch_descriptors(), depth=max(2, len(devices) + 1)
     ):
         batch = (
             prepared

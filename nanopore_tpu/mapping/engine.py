@@ -97,9 +97,13 @@ class MappingEngine:
             )
         self.params = make_kernel_params(model or PairHmmModel.default())
         # single-process multi-chip: extension batches round-robin over
-        # the local devices (each batch committed to + run on its chip)
+        # the local devices (each batch committed to + run on its chip).
+        # itertools.count: _prepare_batch runs on prefetched_map worker
+        # THREADS, and count().__next__ is atomic under CPython.
+        import itertools
+
         self._devices = local_dp_devices()
-        self._batch_counter = 0
+        self._batch_counter = itertools.count()
 
     # ------------------------------------------------------------------ #
     def _candidates_for_read(
@@ -300,8 +304,7 @@ class MappingEngine:
                 c.window_start : c.window_end
             ]
             pairs.append((x, c.read_codes, c.guide))
-        dev = self._devices[self._batch_counter % len(self._devices)]
-        self._batch_counter += 1
+        dev = self._devices[next(self._batch_counter) % len(self._devices)]
         if cfg.decode == "viterbi":
             prep = prepared_from_pairs(
                 {"device": dev},
@@ -424,18 +427,20 @@ class MappingEngine:
         host maps its strided FASTQ shard, host 0 merges —
         parallel.distributed.merge_sam_shards).
         """
-        from nanopore_tpu.runtime.prefetch import prefetched
+        from nanopore_tpu.runtime.prefetch import prefetched_map
 
         cfg = self.config
         quals: dict[str, str] = {}
 
-        def prepared_batches():
-            """FASTQ parse -> seed/chain -> pack -> upload, streamed.
+        def batch_descriptors():
+            """FASTQ parse -> seed/chain, streamed on the feeder thread.
 
-            Runs on the prefetch thread so the whole host side of batch
-            i+1 overlaps the device kernel of batch i (SURVEY section 7
-            "Host I/O overlap").  Buckets flush as they fill instead of
-            buffering every candidate for the file.
+            Buckets flush as they fill instead of buffering every
+            candidate for the file; the expensive pack + upload + async
+            kernel launch (_prepare_batch) runs on the prefetched_map
+            WORKER POOL so several batches pack/upload concurrently
+            while earlier ones compute (SURVEY section 7 "Host I/O
+            overlap").
             """
             bs = preferred_realign_batch_size(cfg.batch_size)
             buckets: dict[tuple[int, int], list[_Candidate]] = {}
@@ -458,16 +463,16 @@ class MappingEngine:
                     group.append(c)
                     if len(group) >= bs:
                         buckets[key] = []
-                        yield self._prepare_batch(group, *key)
+                        yield group, key
             for key, group in buckets.items():
                 for i in range(0, len(group), bs):
-                    yield self._prepare_batch(
-                        group[i : i + bs], *key
-                    )
+                    yield group[i : i + bs], key
 
         results: list[tuple[_Candidate, SamRecord, float]] = []
-        for sub, batch in prefetched(
-            prepared_batches(), depth=max(2, len(self._devices) + 1)
+        for sub, batch in prefetched_map(
+            lambda d: self._prepare_batch(d[0], *d[1]),
+            batch_descriptors(),
+            depth=max(2, len(self._devices) + 1),
         ):
             results.extend(self._consume_batch(sub, batch, quals))
 

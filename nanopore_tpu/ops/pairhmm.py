@@ -663,7 +663,25 @@ def forward_backward(batch: BandedBatch, params: KernelParams) -> dict:
 
     Returns dict of batched arrays: loglik (B,), gamma_match/del/ins
     (B, K+1, W), trans (B,5,5), emis (B,5,16).
+
+    WARNING (round-3 hardware finding, scripts_dev/gamma_probe.py): on
+    TPU backends XLA compiles this scan such that ~0.03% of gamma band
+    cells come out wrong by up to ~170 at K=10000 (CPU is exact vs the
+    C++ oracle, and the fused Pallas emit_gamma stream matches the
+    oracle to ~1e-5 on the same hardware).  Posterior consumers on TPU
+    must take the Pallas route (ops.dispatch.PreparedPosteriors does);
+    this function is the CPU/virtual-mesh backend.
     """
+    import jax
+
+    if jax.default_backend() in ("tpu", "axon"):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "forward_backward gamma bands are UNRELIABLE on TPU "
+            "backends (XLA scan miscompilation, see gamma_probe r3); "
+            "use the Pallas emit_gamma stream (PreparedPosteriors)"
+        )
     return _forward_backward_jit(
         params, batch.xc, batch.yc, batch.xn, batch.yn, batch.offsets,
         batch.m, batch.n, batch.k_end, batch.band_width,

@@ -56,7 +56,8 @@ void pairhmm_cpu_realign_one(
     const float* t, const float* e_match, const float* e_gap,
     float gap_gamma, float match_gamma, int32_t emit_em,
     float* loglik_out, float* score_out, float* trans_out,
-    float* emis16_out, float* edel_out, float* eins_out, int8_t* dirs) {
+    float* emis16_out, float* edel_out, float* eins_out, int8_t* dirs,
+    float* gamma_out /* (K1, W) match posteriors, or nullptr */) {
     const int64_t K = K1 - 1;
     const int64_t SW = (int64_t)NS * W;
 
@@ -265,6 +266,10 @@ void pairhmm_cpu_realign_one(
             ngd[w] = g1 + g3;
             ngi[w] = g2 + g4;
         }
+        if (gamma_out) {
+            std::memcpy(gamma_out + (size_t)k * W, ngm.data(),
+                        W * sizeof(float));
+        }
         // reverse MEA over this diagonal
         int8_t* dk = dirs + (size_t)k * W;
         for (int w = 0; w < W; ++w) {
@@ -326,7 +331,8 @@ void pairhmm_cpu_realign_batch(
     const float* t, const float* e_match, const float* e_gap,
     float gap_gamma, float match_gamma, int32_t emit_em,
     float* loglik_out, float* score_out, float* trans_out,
-    float* emis16_out, float* edel_out, float* eins_out, int8_t* dirs) {
+    float* emis16_out, float* edel_out, float* eins_out, int8_t* dirs,
+    float* gamma_out /* (B, K1, W) or nullptr */) {
     const int64_t band = K1 * W;
     for (int64_t b = 0; b < B; ++b) {
         pairhmm_cpu_realign_one(
@@ -335,7 +341,8 @@ void pairhmm_cpu_realign_batch(
             e_gap, gap_gamma, match_gamma, emit_em,
             loglik_out + b, score_out + b,
             trans_out + b * 25, emis16_out + b * 16, edel_out + b * 8,
-            eins_out + b * 8, dirs + b * band);
+            eins_out + b * 8, dirs + b * band,
+            gamma_out ? gamma_out + b * band : nullptr);
     }
 }
 

@@ -75,6 +75,7 @@ def get_lib():
             f32p, f32p, f32p,
             ctypes.c_float, ctypes.c_float, ctypes.c_int32,
             f32p, f32p, f32p, f32p, f32p, f32p, i8p,
+            ctypes.c_void_p,
         ]
         _lib = lib
         logger.info("native pairhmm_cpu baseline loaded: %s", _SO)
@@ -83,7 +84,7 @@ def get_lib():
 
 def cpu_realign_batch(
     batch, params, gap_gamma: float = 0.5, match_gamma: float = 0.0,
-    emit_em: bool = True,
+    emit_em: bool = True, emit_gamma: bool = False,
 ) -> dict | None:
     """Run the single-core fused realign over a BandedBatch.
 
@@ -120,11 +121,15 @@ def cpu_realign_batch(
     edel = np.empty((B, 8), np.float32)
     eins = np.empty((B, 8), np.float32)
     dirs = np.empty((B, K1, W), np.int8)
+    gamma = (
+        np.zeros((B, K1, W), np.float32) if emit_gamma else None
+    )
     lib.pairhmm_cpu_realign_batch(
         xc, yc, xn, yn, offsets, B, K1, W, m, n, kend,
         t, e_match, e_gap, float(gap_gamma), float(match_gamma),
         int(emit_em),
         loglik, score, trans, e16, edel, eins, dirs,
+        gamma.ctypes.data if gamma is not None else None,
     )
     emis = np.zeros((B, 5, 16), np.float32)
     emis[:, 0, :] = e16
@@ -132,10 +137,13 @@ def cpu_realign_batch(
     emis[:, 3, :] = np.repeat(edel[:, 4:8] / 4.0, 4, axis=1)
     emis[:, 2, :] = np.tile(eins[:, 0:4] / 4.0, (1, 4))
     emis[:, 4, :] = np.tile(eins[:, 4:8] / 4.0, (1, 4))
-    return {
+    out = {
         "loglik": loglik,
         "score": score,
         "trans": trans.reshape(B, 5, 5),
         "emis": emis,
         "dirs": dirs,
     }
+    if gamma is not None:
+        out["gamma_match"] = gamma
+    return out

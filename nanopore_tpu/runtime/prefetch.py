@@ -15,13 +15,143 @@ results.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Callable, Iterable, Iterator, TypeVar
 
 T = TypeVar("T")
+U = TypeVar("U")
 
 _SENTINEL = object()
+
+
+def default_pack_workers() -> int:
+    """Worker count for prefetched_map: the host pack parallelism.
+
+    Production TPU hosts have many cores; this dev box has 2.  Override
+    with NANOPORE_TPU_PACK_WORKERS.
+    """
+    env = os.environ.get("NANOPORE_TPU_PACK_WORKERS")
+    if env:
+        return max(1, int(env))
+    return max(1, min(4, (os.cpu_count() or 2) - 0))
+
+
+def prefetched_map(
+    fn: Callable[[T], U],
+    items: Iterable[T],
+    depth: int = 2,
+    workers: int | None = None,
+) -> Iterator[U]:
+    """Ordered parallel map with bounded lookahead.
+
+    Like ``prefetched`` but the expensive per-item work (``fn``) runs on
+    a POOL of worker threads instead of one: the host pack + upload of
+    several batches proceed concurrently (numpy and JAX transfers
+    release the GIL), which is what keeps multiple chips fed and the
+    upload link busy while another batch packs.  Results are yielded in
+    input order; at most ``depth + workers`` items are in flight.
+    Cancellation mirrors ``prefetched``: abandoning the iterator stops
+    the feeder and the pool.
+    """
+    workers = workers or default_pack_workers()
+    if workers <= 1:
+        return prefetched((fn(it) for it in items), depth=depth)
+
+    def gen() -> Iterator[U]:
+        task_q: queue.Queue = queue.Queue(maxsize=depth + workers)
+        done: dict[int, object] = {}
+        lock = threading.Condition()
+        errs: list[BaseException] = []
+        cancel = threading.Event()
+        n_items = [None]  # total count, known once the feeder finishes
+
+        def feeder():
+            i = 0
+            try:
+                for it in items:
+                    if cancel.is_set():
+                        return
+                    while not cancel.is_set():
+                        try:
+                            task_q.put((i, it), timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    i += 1
+            except BaseException as exc:  # noqa: BLE001
+                with lock:
+                    errs.append(exc)
+                    lock.notify_all()
+            finally:
+                with lock:
+                    n_items[0] = i
+                    lock.notify_all()
+                for _ in range(workers):
+                    while not cancel.is_set():
+                        try:
+                            task_q.put(_SENTINEL, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+
+        def worker():
+            while not cancel.is_set():
+                task = task_q.get()
+                if task is _SENTINEL:
+                    return
+                i, it = task
+                try:
+                    res = fn(it)
+                except BaseException as exc:  # noqa: BLE001
+                    with lock:
+                        errs.append(exc)
+                        lock.notify_all()
+                    return
+                with lock:
+                    done[i] = res
+                    lock.notify_all()
+
+        threads = [
+            threading.Thread(
+                target=feeder, name="nanopore-prefetch-feed", daemon=True
+            )
+        ] + [
+            threading.Thread(
+                target=worker,
+                name="nanopore-prefetch-%d" % w,
+                daemon=True,
+            )
+            for w in range(workers)
+        ]
+        for t in threads:
+            t.start()
+        try:
+            nxt = 0
+            while True:
+                with lock:
+                    while (
+                        nxt not in done
+                        and not errs
+                        and not (
+                            n_items[0] is not None and nxt >= n_items[0]
+                        )
+                    ):
+                        lock.wait(timeout=0.5)
+                    if errs:
+                        raise errs[0]
+                    if n_items[0] is not None and nxt >= n_items[0]:
+                        return
+                    if nxt not in done:
+                        continue
+                    res = done.pop(nxt)
+                nxt += 1
+                yield res
+        finally:
+            cancel.set()
+
+    return gen()
 
 
 def prefetched(

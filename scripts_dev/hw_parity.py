@@ -130,13 +130,17 @@ def main():
     print("dirs:", result["dirs"], flush=True)
 
     if gamma_check:
-        from nanopore_tpu.ops.pairhmm import forward_backward
-
+        # gamma reference = the C++ oracle's own posterior band (NOT
+        # the XLA forward_backward: on TPU it corrupts ~0.03% of band
+        # cells by up to ~170 at K=10000 — scripts_dev/gamma_probe.py
+        # r3 finding; the CPU fb and the Pallas stream both match the
+        # oracle to ~1e-5)
         sub = prepare_banded_batch(
-            pairs[:gamma_b], band_width=W, k_max=2 * L
+            pairs[:gamma_b], band_width=W, k_max=2 * L, device=False
         )
-        fb = forward_backward(sub, params)
-        gm_want = np.asarray(fb["gamma_match"])
+        gm_want = cpu_realign_batch(sub, params, emit_gamma=True)[
+            "gamma_match"
+        ]
         gm_got = outs["pallas"]["gamma_match"][:gamma_b, :K1]
         ks = np.arange(K1)[:, None]
         errs = []

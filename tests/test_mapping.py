@@ -380,3 +380,41 @@ class TestPrefetch:
             for x in prefetched(boom()):
                 out.append(x)
         assert out == [1]
+
+    def test_prefetched_map_ordered_parallel(self):
+        import threading
+        import time
+
+        from nanopore_tpu.runtime.prefetch import prefetched_map
+
+        seen_threads = set()
+
+        def slow_sq(i):
+            seen_threads.add(threading.get_ident())
+            time.sleep(0.02 * ((i * 7) % 3))  # jittered completion order
+            return i * i
+
+        got = list(prefetched_map(slow_sq, range(16), workers=4))
+        assert got == [i * i for i in range(16)]
+        assert len(seen_threads) > 1, "work must spread over the pool"
+
+        # fn exception propagates at the consumption point
+        def maybe_boom(i):
+            if i == 3:
+                raise ValueError("worker failed")
+            return i
+
+        import pytest
+
+        with pytest.raises(ValueError, match="worker failed"):
+            list(prefetched_map(maybe_boom, range(8), workers=2))
+
+        # workers=1 degrades to the single-thread path
+        assert list(prefetched_map(lambda i: i + 1, range(5), workers=1)) == [
+            1, 2, 3, 4, 5,
+        ]
+
+        # abandoning the iterator must not hang
+        it = prefetched_map(slow_sq, range(100), workers=2)
+        assert next(it) == 0
+        it.close()

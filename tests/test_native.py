@@ -170,6 +170,50 @@ class TestNativePairHmmBaseline:
             )
             assert got_cig == want_cig
 
+    def test_oracle_gamma_matches_forward_backward(self):
+        """The oracle's emit_gamma band must match the (CPU) XLA
+        forward_backward posterior — it is the gamma reference
+        hw_parity holds the Pallas stream against (the XLA scan's
+        gammas are unreliable ON TPU, gamma_probe r3)."""
+        from nanopore_tpu.align.model import PairHmmModel
+        from nanopore_tpu.io.sam import CIG
+        from nanopore_tpu.ops.pairhmm import (
+            forward_backward,
+            make_kernel_params,
+            prepare_banded_batch,
+        )
+        from nanopore_tpu.runtime.native_pairhmm import cpu_realign_batch
+
+        rng = np.random.default_rng(5)
+        params = make_kernel_params(PairHmmModel.default())
+        pairs = []
+        for L in (50, 80):
+            x = rng.integers(0, 4, L).astype(np.int8)
+            y = x.copy()
+            y[rng.integers(0, L, L // 8)] = rng.integers(0, 4, L // 8)
+            pairs.append((x, y, [(CIG.M, L)]))
+        batch = prepare_banded_batch(pairs, band_width=16, device=False)
+        got = cpu_realign_batch(batch, params, emit_gamma=True)
+        if got is None:
+            import pytest
+
+            pytest.skip("native toolchain unavailable")
+        fb = forward_backward(batch, params)
+        gm_want = np.asarray(fb["gamma_match"])
+        offsets = np.asarray(batch.offsets)
+        K1 = gm_want.shape[1]
+        ks = np.arange(K1)[:, None]
+        for b, (x, y, _) in enumerate(pairs):
+            j = offsets[b][:K1, None] + np.arange(16)[None, :]
+            i = ks - j
+            valid = (i >= 1) & (i <= len(y)) & (j >= 1) & (j <= len(x))
+            np.testing.assert_allclose(
+                got["gamma_match"][b][:K1][valid],
+                gm_want[b][valid],
+                rtol=1e-3,
+                atol=1e-5,
+            )
+
 
 class TestLargeLatticeEmAccuracy:
     """Regression for the round-1 'phase-B wrong at scale' finding: the
