@@ -193,40 +193,48 @@ def em_train(
         return _em_train_sharded(kept, opts)
 
     # batches are shape-stable across iterations: prepare once; on TPU
-    # a PreparedEm plan keeps the packed codes device-resident and
-    # swaps only the model scalars each iteration (Pallas kernel);
-    # elsewhere the module-level em_expectations runs per batch.
-    # Batches round-robin over the local devices (single-process data
-    # parallelism — each batch's E-step runs on its own chip).
+    # a PreparedEm plan keeps the packed codes device-resident (built
+    # by the fused direct pack) and swaps only the model scalars each
+    # iteration (Pallas kernel); elsewhere the module-level
+    # em_expectations runs per batch.  Batches round-robin over the
+    # local devices (single-process data parallelism — each batch's
+    # E-step runs on its own chip).
     from nanopore_tpu.ops.dispatch import (
         PreparedEm,
+        _PALLAS_BAND_WIDTHS,
         _place_batch,
         kernel_choice,
         local_dp_devices,
-        pallas_eligible,
-        prefer_host_batch,
+        prepared_from_pairs,
     )
 
     devices = local_dp_devices()
-    batches: list[BandedBatch] = []
-    for s in range(0, len(kept), opts.batch_size):
-        batches.append(
-            prepare_banded_batch(
-                kept[s : s + opts.batch_size],
-                band_width=opts.band_width,
-                device=not prefer_host_batch(opts.band_width),
-            )
-        )
-
-    preps = []
-    for i, b in enumerate(batches):
+    use_pallas = (
+        kernel_choice() == "pallas"
+        and opts.band_width in _PALLAS_BAND_WIDTHS
+    )
+    batches: list = []
+    preps: list = []
+    params0 = make_kernel_params(PairHmmModel.default())
+    for i, s in enumerate(range(0, len(kept), opts.batch_size)):
+        chunk = kept[s : s + opts.batch_size]
         dev = devices[i % len(devices)]
-        if kernel_choice() == "pallas" and pallas_eligible(b):
-            preps.append(
-                PreparedEm(b, segment_size=opts.remat_segment, device=dev)
+        if use_pallas:
+            prep = prepared_from_pairs(
+                {"segment_size": opts.remat_segment, "device": dev},
+                chunk,
+                params0,
+                band_width=opts.band_width,
+                prepared_cls=PreparedEm,
             )
+            batches.append(prep.batch)
+            preps.append(prep)
         else:
-            batches[i] = _place_batch(b, dev)
+            b = _place_batch(
+                prepare_banded_batch(chunk, band_width=opts.band_width),
+                dev,
+            )
+            batches.append(b)
             preps.append(None)
 
     trial_models: list[PairHmmModel] = []

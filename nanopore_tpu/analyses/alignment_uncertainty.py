@@ -27,14 +27,11 @@ from nanopore_tpu.align.model import PairHmmModel
 from nanopore_tpu.io.encoding import encode
 from nanopore_tpu.io.sam import CIG
 from nanopore_tpu.io.xmlio import pretty_xml
-from nanopore_tpu.ops.pairhmm import (
-    make_kernel_params,
-    prepare_banded_batch,
-)
+from nanopore_tpu.ops.pairhmm import make_kernel_params
 from nanopore_tpu.ops.dispatch import (
     PreparedPosteriors,
-    prefer_host_batch,
     preferred_realign_batch_size,
+    prepared_from_pairs,
 )
 from nanopore_tpu.ops.posteriors import rescore_cigars
 
@@ -87,25 +84,27 @@ class AlignmentUncertainty(Analysis):
         results = [float("nan")] * len(records)
         batch_size = preferred_realign_batch_size(self.batch_size)
 
-        def prepared():
-            # pack + upload + async kernel launch on the prefetch
-            # thread, overlapping the previous batch's consumption
+        def descriptors():
             for (n_pad, m_pad), idxs in buckets.items():
                 for s in range(0, len(idxs), batch_size):
-                    sub = idxs[s : s + batch_size]
-                    batch = prepare_banded_batch(
-                        [items[i] for i in sub],
-                        band_width=self.band_width,
-                        k_max=n_pad + m_pad,
-                        n_pad_to=n_pad,
-                        m_pad_to=m_pad,
-                        device=not prefer_host_batch(self.band_width),
-                    )
-                    yield sub, PreparedPosteriors(batch, params).launch()
+                    yield idxs[s : s + batch_size], n_pad + m_pad
 
-        from nanopore_tpu.runtime.prefetch import prefetched
+        def build(desc):
+            # fused direct pack + async kernel launch, on the
+            # prefetched_map worker pool (overlaps earlier batches)
+            sub, k_max = desc
+            return sub, prepared_from_pairs(
+                {},
+                [items[i] for i in sub],
+                params,
+                band_width=self.band_width,
+                k_max=k_max,
+                prepared_cls=PreparedPosteriors,
+            ).launch()
 
-        for sub, prep in prefetched(prepared(), depth=2):
+        from nanopore_tpu.runtime.prefetch import prefetched_map
+
+        for sub, prep in prefetched_map(build, descriptors(), depth=2):
             out = prep.run()
             offs = np.asarray(prep.batch.offsets)
             scores = rescore_cigars(

@@ -338,11 +338,27 @@ class PreparedEm:
         self.batch = batch
         self._segment = segment_size
         self._plan = None
+        self._prep = None
         self._dev_batch = None
         self._device = device
         self._use_pallas = (
             kernel_choice() == "pallas" and pallas_eligible(batch)
         )
+
+    @classmethod
+    def _from_prep(
+        cls, lite: LitePack, params: KernelParams, prep: dict,
+        segment_size: int = 512, device=None,
+    ) -> "PreparedEm":
+        self = cls.__new__(cls)
+        self.batch = lite
+        self._segment = segment_size
+        self._plan = None
+        self._prep = prep
+        self._dev_batch = None
+        self._device = device
+        self._use_pallas = True
+        return self
 
     def run(self, params: KernelParams) -> dict:
         """E-step expectations: {trans (B,5,5), emis (B,5,16), loglik (B,)}."""
@@ -352,9 +368,18 @@ class PreparedEm:
             )
 
             if self._plan is None:
+                from_prep = self._prep is not None
                 self._plan = PallasRealignPlan(
-                    self.batch, params, device=self._device
+                    None if from_prep else self.batch,
+                    params,
+                    device=self._device,
+                    prep=self._prep,
                 )
+                self._prep = None  # plan owns the device arrays now
+                if from_prep:
+                    # the pack embedded pack-time scalars; swap in this
+                    # iteration's model
+                    self._plan.update_params(params)
             else:
                 self._plan.update_params(params)
             out = self._plan.run()

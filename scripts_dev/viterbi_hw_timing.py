@@ -82,7 +82,7 @@ def main():
     def decode_once():
         out = plan.run()
         cigs = viterbi_traceback_batch(
-            out["bp"], batch.offsets, batch.m, batch.n, out["fstate"]
+            out["bp_raw"], batch.offsets, batch.m, batch.n, out["fstate"]
         )
         return len(cigs)
 

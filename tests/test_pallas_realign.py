@@ -288,6 +288,49 @@ class TestPallasRealign:
         assert (got["m"] == np.asarray(batch.m)).all()
         assert (got["k_end"] == np.asarray(batch.k_end)).all()
 
+    def test_prepared_em_from_prep_uses_run_params(self, params):
+        """PreparedEm built from a direct pack must compute the E-step
+        under the RUN-time model, not the scalars embedded at pack time
+        (align/em.py builds packs with a default model, then trains)."""
+        from nanopore_tpu.ops.dispatch import LitePack, PreparedEm
+        from nanopore_tpu.ops.pairhmm_pallas_realign import (
+            PallasRealignPlan,
+            pack_pallas_pairs,
+        )
+
+        rng = np.random.default_rng(47)
+        pairs = uniform_pairs(rng, 2, 12)
+        params2 = make_kernel_params(
+            PairHmmModel.random(np.random.default_rng(6))
+        )
+        prep = pack_pallas_pairs(pairs, params, band_width=8)
+        lite = LitePack(
+            offsets=prep["offsets"], m=prep["m"], n=prep["n"],
+            k_end=prep["k_end"], band_width=8,
+        )
+        em = PreparedEm._from_prep(lite, params, prep)
+        em._use_pallas = True
+
+        # run under params2 (interpret via the plan it builds)
+        from unittest import mock
+
+        orig_run = PallasRealignPlan.run
+        with mock.patch.object(
+            PallasRealignPlan, "run",
+            lambda self: orig_run(self, interpret=True),
+        ):
+            got = em.run(params2)
+        batch = prepare_banded_batch(pairs, band_width=8)
+        want = PallasRealignPlan(batch, params2).run(interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got["loglik"]), np.asarray(want["loglik"]),
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["trans"]), np.asarray(want["trans"]),
+            rtol=1e-6,
+        )
+
     def test_update_params_matches_fresh_plan(self, params):
         """EM reuse contract (ops.dispatch.PreparedEm): swapping the
         model scalars on an existing plan == building a fresh plan with
