@@ -155,15 +155,17 @@ def main() -> int:
                 cells / d_elapsed / float(BASELINE_DECODE), 3
             )
 
-    # end-to-end mapping throughput measured separately on this chip
-    # (scripts_dev/e2e_throughput.py writes E2E_HW.json; FASTQ -> SAM
-    # through seeding, chaining, pack/upload, kernel, traceback)
-    e2e_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "E2E_HW.json"
-    )
-    if os.path.exists(e2e_path):
-        with open(e2e_path) as fh:
-            detail["e2e"] = json.load(fh)
+    # end-to-end mapping throughput and the single-pass Viterbi decode,
+    # measured separately on this chip (scripts_dev/e2e_throughput.py
+    # -> E2E_HW.json: FASTQ -> SAM through seeding, chaining,
+    # pack/upload, kernel, traceback; scripts_dev/viterbi_hw_timing.py
+    # -> VITERBI_HW.json)
+    here = os.path.dirname(os.path.abspath(__file__))
+    for key, fname in (("e2e", "E2E_HW.json"), ("viterbi", "VITERBI_HW.json")):
+        path = os.path.join(here, fname)
+        if os.path.exists(path):
+            with open(path) as fh:
+                detail[key] = json.load(fh)
 
     result = {
         "metric": "pairhmm_realign_band_cells_per_sec",

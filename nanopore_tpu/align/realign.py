@@ -63,7 +63,7 @@ def realign_records(
     else an empty list.
     """
     from nanopore_tpu.ops.dispatch import kernel_choice
-    from nanopore_tpu.ops.posteriors import rescore_cigars
+    from nanopore_tpu.ops.posteriors import rescore_from_post
 
     params = make_kernel_params(model or PairHmmModel.default())
     scores: list[float] = [float("nan")] * len(records)
@@ -144,9 +144,8 @@ def realign_records(
             # traceback and the posterior rescore of the NEW cigars
             # both run on device (only op codes / scalars come back)
             _, cigars, fused = prepared.decode()
-            res = rescore_cigars(
-                fused["gamma_match"], np.asarray(batch.offsets),
-                cigars, band_width,
+            res = rescore_from_post(
+                fused, np.asarray(batch.offsets), cigars, band_width
             )
             for b, idx in enumerate(sub):
                 records[idx].cigar = cigars[b]

@@ -33,7 +33,7 @@ from nanopore_tpu.ops.dispatch import (
     preferred_realign_batch_size,
     prepared_from_pairs,
 )
-from nanopore_tpu.ops.posteriors import rescore_cigars
+from nanopore_tpu.ops.posteriors import rescore_from_post
 
 TRAINED_HMM_DIR = os.path.join(os.path.dirname(__file__), "..", "models")
 
@@ -107,9 +107,8 @@ class AlignmentUncertainty(Analysis):
         for sub, prep in prefetched_map(build, descriptors(), depth=2):
             out = prep.run()
             offs = np.asarray(prep.batch.offsets)
-            scores = rescore_cigars(
-                out["gamma_match"], offs,
-                [items[i][2] for i in sub], self.band_width,
+            scores = rescore_from_post(
+                out, offs, [items[i][2] for i in sub], self.band_width
             )
             for b, i in enumerate(sub):
                 results[i] = scores[b]

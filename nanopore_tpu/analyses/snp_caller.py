@@ -45,7 +45,7 @@ from nanopore_tpu.ops.dispatch import (
     preferred_realign_batch_size,
     prepared_from_pairs,
 )
-from nanopore_tpu.ops.posteriors import posterior_expectations_batch
+from nanopore_tpu.ops.posteriors import expectations_from_post
 
 
 def _next_pow2(x: int) -> int:
@@ -173,9 +173,8 @@ class MarginAlignSnpCaller(Analysis):
 
         for sub, prep in prefetched_map(build, descriptors(), depth=2):
             post = prep.run()
-            exps = posterior_expectations_batch(
-                post["gamma_match"],
-                post["yc"],
+            exps = expectations_from_post(
+                post,
                 np.asarray(prep.batch.offsets),
                 np.asarray(prep.batch.n),
                 threshold=POSTERIOR_THRESHOLD,

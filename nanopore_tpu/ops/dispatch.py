@@ -476,9 +476,11 @@ class PreparedPosteriors:
     def _run(self) -> dict:
         if self._plan is not None:
             out = self._plan.run()
+            # k-major raw layouts; consume with the ops.posteriors
+            # *_from_post wrappers (no band transposes)
             return {
-                "gamma_match": out["gamma_match"],
-                "yc": self._plan.yc_band(),
+                "gamma_raw": out["gamma_raw"],
+                "yc_raw": self._plan.yc_raw(),
                 "loglik": out["loglik"],
             }
         import jax.numpy as jnp

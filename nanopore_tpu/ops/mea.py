@@ -499,7 +499,12 @@ def _traceback_ops_raw_jit(dirs_raw, offs_t, m, n):
     from nanopore_tpu.ops.pairhmm import SCAN_UNROLL
 
     NB, K1, W, BT = dirs_raw.shape
-    dirs_t = jnp.transpose(dirs_raw, (1, 0, 2, 3))  # (K1, NB, W, BT)
+    # MATERIALISE the k-major view before the scan: without the
+    # barrier XLA fuses the transpose into the loop as a per-step
+    # strided gather, turning a ~0.2 s walk into seconds
+    dirs_t = lax.optimization_barrier(
+        jnp.transpose(dirs_raw, (1, 0, 2, 3))
+    )  # (K1, NB, W, BT)
     lanes = jnp.arange(W, dtype=jnp.int32)[None, :, None]
     m = m.astype(jnp.int32)
     n = n.astype(jnp.int32)

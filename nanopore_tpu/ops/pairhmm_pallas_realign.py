@@ -900,6 +900,18 @@ def dirs_band_from_raw(dirs_raw, B: int, K: int) -> np.ndarray:
     )
 
 
+gamma_band_from_raw = dirs_band_from_raw  # same layout, f32 payload
+
+
+@jax.jit
+def _yc_raw_from_xyc(xyc):
+    """k-major (NB, k_pad+1, W, BT) read-code band y[i-1]: row 0 is
+    all-sentinel (diagonal 0), row k = packed stream row k-1 & 7."""
+    NB, k_pad, W, BT = xyc.shape
+    sent = jnp.full((NB, 1, W, BT), 5, jnp.int8)
+    return jnp.concatenate([sent, xyc & 7], axis=1)
+
+
 @jax.jit
 def _yc_from_xyc(xyc):
     """Recover the (B_pad, k_pad+1, W) read-code band y[i-1] from the
@@ -1155,9 +1167,10 @@ def _pallas_realign_call(
         out["trans"] = trans_b
         out["emis"] = emis
     if emit_gamma:
-        out["gamma_match"] = jnp.transpose(
-            gm.reshape(NB, k_pad + 1, W, BT), (0, 3, 1, 2)
-        ).reshape(-1, k_pad + 1, W)
+        # k-major, like dirs: consumers (ops.posteriors raw reductions)
+        # never need the (B, K1, W) transpose (~1.7 GB byte-shuffle at
+        # posterior shapes); gamma_band_from_raw converts for tests
+        out["gamma_raw"] = gm.reshape(NB, k_pad + 1, W, BT)
     return out
 
 
@@ -1209,6 +1222,11 @@ class PallasRealignPlan:
         consumers (ops.posteriors) need no second band upload."""
         return _yc_from_xyc(self.arrays[5])[: self.B, : self.K + 1]
 
+    def yc_raw(self) -> jax.Array:
+        """Device k-major (NB, k_pad+1, W, BT) read codes (pairs with
+        gamma_raw for the raw posterior reductions)."""
+        return _yc_raw_from_xyc(self.arrays[5])
+
     def update_params(self, params: KernelParams) -> None:
         """Swap the model scalars (EM M-step) without re-packing or
         re-uploading the code tensors — the expensive host side of the
@@ -1240,7 +1258,7 @@ class PallasRealignPlan:
             res["trans"] = out["trans"][:B]
             res["emis"] = out["emis"][:B]
         if self.emit_gamma:
-            res["gamma_match"] = out["gamma_match"][:B, : K + 1]
+            res["gamma_raw"] = out["gamma_raw"]
         return res
 
 

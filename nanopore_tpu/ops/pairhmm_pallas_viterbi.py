@@ -445,7 +445,11 @@ def _viterbi_ops_raw_jit(bp_raw, offs_t, m, n, fstate):
     from nanopore_tpu.ops.pairhmm import SCAN_UNROLL
 
     NB, K1, _, W, BT = bp_raw.shape
-    bp_t = jnp.transpose(bp_raw, (1, 0, 2, 3, 4))  # (K1, NB, 2, W, BT)
+    # materialise before the scan (see _traceback_ops_raw_jit): fused
+    # per-step transpose+reverse gathers cost ~seconds at B=1024
+    bp_t = lax.optimization_barrier(
+        jnp.transpose(bp_raw, (1, 0, 2, 3, 4))[::-1]
+    )  # (K1 desc, NB, 2, W, BT)
     lanes = jnp.arange(W, dtype=jnp.int32)[None, :, None]
     m = m.astype(jnp.int32)
     n = n.astype(jnp.int32)
@@ -481,7 +485,7 @@ def _viterbi_ops_raw_jit(bp_raw, offs_t, m, n, fstate):
         return (i, j, s), op
 
     ks = jnp.arange(K1 - 1, -1, -1, dtype=jnp.int32)
-    xs = (bp_t[::-1], offs_t[::-1], ks)
+    xs = (bp_t, offs_t[::-1], ks)
     (fi, fj, _), ops_rev = lax.scan(
         step, (m, n, fstate.astype(jnp.int32)), xs, unroll=SCAN_UNROLL
     )

@@ -189,6 +189,160 @@ def accumulate_expectations(
     expectations[goff + fpos[fok]] += flush[:, fok].T
 
 
+# --------------------------------------------------------------------- #
+# Raw (k-major) layout twins: consume the Pallas kernel's native
+# (NB, K1, W, BT) gamma/code tensors directly — no per-read band
+# transpose (~1.7 GB of byte-shuffle at SNP shapes) and no vmapped
+# scans over per-read slices.
+# --------------------------------------------------------------------- #
+def _lanes_layout(arr_2d: np.ndarray, NB: int, BT: int) -> np.ndarray:
+    """(B, K1) host array -> (NB, K1, BT) matching raw lane order."""
+    B, K1 = arr_2d.shape
+    out = np.zeros((NB * BT, K1), arr_2d.dtype)
+    out[:B] = arr_2d
+    return np.ascontiguousarray(
+        out.reshape(NB, BT, K1).transpose(0, 2, 1)
+    )
+
+
+@jax.jit
+def _rescore_totals_raw_jit(gm_raw, pb):
+    """gm_raw (NB, K1, W, BT) x pb (NB, K1, BT) -> (NB, BT) sums."""
+    W = gm_raw.shape[2]
+    lanes = jnp.arange(W, dtype=jnp.int32)[None, None, :, None]
+    oh = lanes == pb[:, :, None, :]
+    return jnp.sum(jnp.where(oh, gm_raw, 0.0), axis=(1, 2))
+
+
+def rescore_cigars_raw(
+    gm_raw, offsets: np.ndarray, cigars, band_width: int
+) -> list[float]:
+    """Raw-layout --rescoreByPosteriorProbIgnoringGaps."""
+    NB, K1g, W, BT = gm_raw.shape
+    offsets = np.asarray(offsets)
+    K1 = min(offsets.shape[1], K1g)
+    pbs, counts = [], []
+    for cig in cigars:
+        pb, count = path_band_indices(cig, offsets[len(pbs)], band_width)
+        pbs.append(pb[:K1])
+        counts.append(count)
+    pb_l = _lanes_layout(np.stack(pbs), NB, BT)
+    if K1 < K1g:  # pad rows select nothing
+        pad = np.full((NB, K1g - K1, BT), -1, np.int32)
+        pb_l = np.concatenate([pb_l, pad], axis=1)
+    totals = np.asarray(
+        _rescore_totals_raw_jit(jnp.asarray(gm_raw), jnp.asarray(pb_l))
+    ).reshape(-1)
+    return [
+        float(totals[b]) / c if c else float("nan")
+        for b, c in enumerate(counts)
+    ]
+
+
+@functools.partial(jax.jit, static_argnames=("threshold",))
+def _expectation_streams_raw_jit(gm_raw, yc_raw, d1_t, threshold):
+    """Raw band-following accumulator: ONE scan over diagonals, lanes
+    stay in the kernel layout (no vmap over per-read slices).
+
+    gm_raw/yc_raw (NB, K1, W, BT), d1_t (K1, NB, BT).  Returns
+    (retired (K1, NB, 4, BT), flush (NB, 4, W, BT)).
+    """
+    from nanopore_tpu.ops.pairhmm import SCAN_UNROLL
+
+    NB, K1, W, BT = gm_raw.shape
+    gm_t = lax.optimization_barrier(
+        jnp.transpose(gm_raw, (1, 0, 2, 3))
+    )
+    yc_t = lax.optimization_barrier(
+        jnp.transpose(yc_raw, (1, 0, 2, 3)).astype(jnp.int32)
+    )
+
+    def step(acc, xs):
+        gm_k, yc_k, d1_k = xs
+        d1f = d1_k.astype(jnp.float32)[:, None, :]  # (NB, 1, BT)
+        retired = acc[:, :, 0, :] * d1f
+        shifted = jnp.concatenate(
+            [acc[:, :, 1:, :], jnp.zeros((NB, 4, 1, BT), jnp.float32)],
+            axis=2,
+        )
+        acc = jnp.where(d1_k[:, None, None, :] > 0, shifted, acc)
+        gmz = jnp.where(gm_k > threshold, gm_k, 0.0)
+        contrib = jnp.stack(
+            [
+                jnp.where(yc_k == base, gmz, 0.0)
+                for base in range(4)
+            ],
+            axis=1,
+        )  # (NB, 4, W, BT)
+        return acc + contrib, retired
+
+    acc0 = jnp.zeros((NB, 4, W, BT), jnp.float32)
+    acc, retired = lax.scan(
+        step, acc0, (gm_t, yc_t, d1_t), unroll=SCAN_UNROLL
+    )
+    return retired, acc
+
+
+def posterior_expectations_raw(
+    gm_raw, yc_raw, offsets: np.ndarray, ns: np.ndarray,
+    threshold: float = 1e-3,
+) -> list[np.ndarray]:
+    """Per-read (n, 4) expected base-count matrices from raw bands."""
+    NB, K1g, W, BT = gm_raw.shape
+    offsets = np.asarray(offsets)
+    B = len(ns)
+    K1 = min(offsets.shape[1], K1g)
+    offs = np.zeros((B, K1g), np.int32)
+    offs[:, :K1] = offsets[:, :K1]
+    if K1 < K1g:
+        offs[:, K1:] = offsets[:, -1:]
+    d1 = np.zeros((B, K1g), np.int32)
+    d1[:, 1:] = offs[:, 1:] - offs[:, :-1]
+    d1_t = np.ascontiguousarray(
+        _lanes_layout(d1, NB, BT).transpose(1, 0, 2)
+    )  # (K1, NB, BT)
+    retired, flush = _expectation_streams_raw_jit(
+        jnp.asarray(gm_raw), jnp.asarray(yc_raw), jnp.asarray(d1_t),
+        float(threshold),
+    )
+    # (K1, NB, 4, BT) -> (B, K1, 4); (NB, 4, W, BT) -> (B, 4, W)
+    retired = (
+        np.asarray(retired).transpose(1, 3, 0, 2).reshape(NB * BT, K1g, 4)
+    )
+    flush = np.asarray(flush).transpose(0, 3, 1, 2).reshape(NB * BT, 4, W)
+    out = []
+    for b in range(B):
+        n = int(ns[b])
+        e = np.zeros((n, 4), np.float32)
+        accumulate_expectations(
+            e, retired[b], flush[b], offs[b], d1[b], n
+        )
+        out.append(e)
+    return out
+
+
+def rescore_from_post(post: dict, offsets, cigars, band_width: int):
+    """Layout-agnostic rescore over a PreparedPosteriors run() output."""
+    if "gamma_raw" in post:
+        return rescore_cigars_raw(
+            post["gamma_raw"], offsets, cigars, band_width
+        )
+    return rescore_cigars(post["gamma_match"], offsets, cigars, band_width)
+
+
+def expectations_from_post(
+    post: dict, offsets, ns, threshold: float = 1e-3
+):
+    """Layout-agnostic posterior expectations over a run() output."""
+    if "gamma_raw" in post:
+        return posterior_expectations_raw(
+            post["gamma_raw"], post["yc_raw"], offsets, ns, threshold
+        )
+    return posterior_expectations_batch(
+        post["gamma_match"], post["yc"], offsets, ns, threshold
+    )
+
+
 def posterior_expectations_batch(
     gm, yc, offsets: np.ndarray, ns: np.ndarray,
     threshold: float = 1e-3,

@@ -101,10 +101,14 @@ def main():
     host = prepare_banded_batch(
         pairs, band_width=W, k_max=2 * L, device=False
     )
+    from nanopore_tpu.ops.pairhmm_pallas_realign import (
+        gamma_band_from_raw,
+    )
+
     plan = PallasRealignPlan(
         host, params, emit_gamma=True, emit_em=False
     )
-    gm_p = np.asarray(plan.run()["gamma_match"])
+    gm_p = gamma_band_from_raw(plan.run()["gamma_raw"], B, 2 * L)
     report("pallas vs fb_cpu", gm_p, gm_cpu, offsets)
     report("pallas vs fb_tpu", gm_p, gm_fb, offsets)
     return 0

@@ -138,10 +138,16 @@ def main():
         sub = prepare_banded_batch(
             pairs[:gamma_b], band_width=W, k_max=2 * L, device=False
         )
+        from nanopore_tpu.ops.pairhmm_pallas_realign import (
+            gamma_band_from_raw,
+        )
+
         gm_want = cpu_realign_batch(sub, params, emit_gamma=True)[
             "gamma_match"
         ]
-        gm_got = outs["pallas"]["gamma_match"][:gamma_b, :K1]
+        gm_got = gamma_band_from_raw(
+            outs["pallas"]["gamma_raw"], B, 2 * L
+        )[:gamma_b, :K1]
         ks = np.arange(K1)[:, None]
         errs = []
         for b in range(gamma_b):

@@ -89,12 +89,34 @@ def main():
     decode_once()
     t0 = time.time()
     decode_once()
-    elapsed = time.time() - t0
+    d_elapsed = time.time() - t0
     print(
         "viterbi fwd+traceback: %.4f s/batch = %.2f Gcells/s (%.0f reads/s)"
-        % (elapsed, cells / elapsed / 1e9, B / elapsed),
+        % (d_elapsed, cells / d_elapsed / 1e9, B / d_elapsed),
         flush=True,
     )
+
+    import json
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "VITERBI_HW.json",
+    )
+    prev = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            prev = json.load(fh)
+    prev["B%d" % B] = {
+        "fwd_cells_per_sec": round(cells / elapsed, 1),
+        "fwd_reads_per_sec": round(B / elapsed, 1),
+        "decode_cells_per_sec": round(cells / d_elapsed, 1),
+        "decode_reads_per_sec": round(B / d_elapsed, 1),
+        "read_length": L,
+        "date": time.strftime("%Y-%m-%d"),
+    }
+    with open(path, "w") as fh:
+        json.dump(prev, fh, indent=1)
+    print("wrote", path, flush=True)
     return 0
 
 

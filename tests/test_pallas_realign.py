@@ -191,10 +191,16 @@ class TestPallasRealign:
         pairs.append((x1, x1[:8].copy(), [(CIG.M, 4), (CIG.D, 4), (CIG.M, 4)]))
         batch = prepare_banded_batch(pairs, band_width=8)
         fb = forward_backward(batch, params)
+        from nanopore_tpu.ops.pairhmm_pallas_realign import (
+            gamma_band_from_raw,
+        )
+
         plan = PallasRealignPlan(batch, params, emit_gamma=True)
         got = plan.run(interpret=True)
         gm_want = np.asarray(fb["gamma_match"])
-        gm_got = np.asarray(got["gamma_match"])
+        gm_got = gamma_band_from_raw(
+            got["gamma_raw"], len(pairs), batch.k_max
+        )
         offsets = np.asarray(batch.offsets)
         for b, (x, y, _) in enumerate(pairs):
             m, n = len(y), len(x)
@@ -243,8 +249,8 @@ class TestPallasRealign:
             np.asarray(lean["dirs_raw"]) == np.asarray(full["dirs_raw"])
         ).all()
         np.testing.assert_allclose(
-            np.asarray(lean["gamma_match"]),
-            np.asarray(full["gamma_match"]),
+            np.asarray(lean["gamma_raw"]),
+            np.asarray(full["gamma_raw"]),
             rtol=1e-6,
         )
         np.testing.assert_allclose(
@@ -287,6 +293,56 @@ class TestPallasRealign:
         assert (got["offsets"] == np.asarray(batch.offsets)).all()
         assert (got["m"] == np.asarray(batch.m)).all()
         assert (got["k_end"] == np.asarray(batch.k_end)).all()
+
+    def test_raw_posterior_consumers_match_band_consumers(self, params):
+        """The k-major posterior reductions (rescore_cigars_raw,
+        posterior_expectations_raw — the TPU production path) must
+        reproduce the per-read band implementations on the same
+        interpret-mode gamma stream."""
+        from nanopore_tpu.ops.pairhmm_pallas_realign import (
+            PallasRealignPlan,
+            gamma_band_from_raw,
+        )
+        from nanopore_tpu.ops.posteriors import (
+            posterior_expectations_batch,
+            posterior_expectations_raw,
+            rescore_cigars,
+            rescore_cigars_raw,
+        )
+
+        rng = np.random.default_rng(53)
+        pairs = []
+        x0 = rng.integers(0, 4, 16).astype(np.int8)
+        y0 = x0.copy()
+        y0[rng.integers(0, 16, 3)] = rng.integers(0, 4, 3)
+        pairs.append((x0, y0, [(CIG.M, 16)]))
+        x1 = rng.integers(0, 4, 14).astype(np.int8)
+        pairs.append((x1, x1[:9].copy(), [(CIG.M, 4), (CIG.D, 5), (CIG.M, 5)]))
+        batch = prepare_banded_batch(pairs, band_width=8, device=False)
+        plan = PallasRealignPlan(batch, params, emit_gamma=True)
+        out = plan.run(interpret=True)
+        offsets = np.asarray(batch.offsets)
+        ns = np.asarray(batch.n)
+        cigars = [g for _, _, g in pairs]
+
+        gm_band = gamma_band_from_raw(
+            out["gamma_raw"], len(pairs), batch.k_max
+        )
+        got_r = rescore_cigars_raw(out["gamma_raw"], offsets, cigars, 8)
+        want_r = rescore_cigars(gm_band, offsets, cigars, 8)
+        np.testing.assert_allclose(got_r, want_r, rtol=1e-6)
+
+        yc_band = plan.yc_band()
+        got_e = posterior_expectations_raw(
+            out["gamma_raw"], plan.yc_raw(), offsets, ns, threshold=1e-3
+        )
+        want_e = posterior_expectations_batch(
+            gm_band, yc_band, offsets, ns, threshold=1e-3
+        )
+        for b in range(len(pairs)):
+            np.testing.assert_allclose(
+                got_e[b], want_e[b], rtol=1e-5, atol=1e-7
+            )
 
     def test_prepared_em_from_prep_uses_run_params(self, params):
         """PreparedEm built from a direct pack must compute the E-step
