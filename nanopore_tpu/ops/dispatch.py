@@ -10,10 +10,17 @@ The complete ``cactus_realign`` equivalent (reference
   production kernel; one fused program per (W, 128-read) batch tile.
 
 ``realign_fused_auto`` picks Pallas on real TPU backends for batches
-whose geometry the kernel serves (band width multiple of 8 — per-read
-band offsets ride the streamed code top bits, so mixed-band production
-batches are fine), and the XLA scan elsewhere.  Override with
-``NANOPORE_TPU_KERNEL={auto,pallas,xla}``.
+whose geometry the kernel serves (band width in _PALLAS_BAND_WIDTHS —
+per-read band offsets ride the streamed code top bits, so mixed-band
+production batches are fine), and the XLA scan elsewhere.  Override
+with ``NANOPORE_TPU_KERNEL={auto,pallas,xla}``.
+
+The Prepared* classes are the production entry points: built from raw
+(ref, read, guide) pairs via ``prepared_from_pairs`` (fused one-pass
+host pack on TPU), committed to a round-robin local device, async
+LAUNCHED from the prefetch worker pool, and consumed through
+layout-agnostic decode()/run() methods so callers never touch the
+kernels' k-major tensor layouts.
 """
 
 from __future__ import annotations
@@ -301,14 +308,18 @@ class PreparedRealign:
         """
         import numpy as np
 
-        from nanopore_tpu.ops.mea import (
-            traceback_cigars_batch,
-            traceback_cigars_raw,
-        )
+        from nanopore_tpu.ops.mea import traceback_cigars_batch
 
         out = self.run()
         if "dirs_raw" in out:
-            cigars = traceback_cigars_raw(
+            # on-chip walker: the XLA scan version costs ~80 us per
+            # diagonal in loop overhead (seconds per batch); the Pallas
+            # walk is VPU arithmetic on one (W, BT) tile per diagonal
+            from nanopore_tpu.ops.traceback_pallas import (
+                traceback_cigars_pallas,
+            )
+
+            cigars = traceback_cigars_pallas(
                 out["dirs_raw"], self.batch.offsets, self.batch.m,
                 self.batch.n,
             )

@@ -1,0 +1,279 @@
+"""Pallas traceback kernels: walk direction/backpointer bands on-chip.
+
+The batched traceback is one cell per diagonal per read — trivially
+cheap compute — but as an XLA ``lax.scan`` it costs ~80 µs per
+diagonal on the TPU runtime (while-loop overhead on tiny slices):
+~1-3 s per production batch, which would cap the decode path at a few
+hundred reads/s against kernels that sustain >10k reads/s.  Here the
+same walk runs INSIDE a Pallas program over the kernels' native
+k-major layouts, streaming the direction rows HBM->VMEM in
+double-buffered chunks exactly like the compute kernels stream their
+code tensors; per-diagonal cost drops to VPU arithmetic on one
+(W, BT) tile.
+
+Two kernels:
+
+* MEA/realign: ascending walk over 2-bit direction codes
+  (ops.pairhmm_pallas_realign ``dirs_raw``) — op semantics pinned to
+  ops.mea.mea_traceback_fwd.
+* Viterbi: descending walk over the base-5-packed backpointer planes
+  (ops.pairhmm_pallas_viterbi ``bp_raw``) — pinned to
+  ops.viterbi.viterbi_traceback.
+
+Both emit a (K1, BT) op-code matrix (8 diagonals packed per sublane
+row) that the host run-length encodes; integer state (i, j, ...) is
+carried as exact small f32 (< 2^24).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BT = 128
+CHUNK = 128  # diagonals per DMA chunk (multiple of 8)
+OP_M, OP_D, OP_I, OP_NONE = 0.0, 1.0, 2.0, 3.0
+
+
+def _mea_tb_kernel(
+    mn_ref,  # (2, BT) int32 VMEM block: rows m, n
+    dirs_hbm,  # (NB, K1_pad, W, BT) int8 (k-major direction codes)
+    offs_hbm,  # (NB, K1_pad // 8, 8, BT) int32 band offsets
+    ops_hbm,  # (NB, K1_pad // 8, 8, BT) int8 out
+    bufD,  # (2*CHUNK, W, BT) int8
+    bufO,  # (2, CHUNK // 8, 8, BT) int32
+    bufOut,  # (2, CHUNK // 8, 8, BT) f32 staged op codes
+    st,  # (4, 1, BT) f32: i, j, nk (and scratch)
+    in_sems,  # DMA (2, 2)
+    out_sems,  # DMA (2,)
+    *,
+    k1_pad: int,
+    W: int,
+):
+    bt = pl.program_id(0)
+    n_chunks = k1_pad // CHUNK
+    rows_per_chunk = CHUNK // 8
+
+    row_f = lax.broadcasted_iota(jnp.int32, (W, BT), 0).astype(jnp.float32)
+    zeros_w = jnp.zeros((W, BT), jnp.float32)
+    m = mn_ref[0:1, :].astype(jnp.float32)
+    n = mn_ref[1:2, :].astype(jnp.float32)
+
+    def dmas(c, slot):
+        return (
+            pltpu.make_async_copy(
+                dirs_hbm.at[bt, pl.ds(c * CHUNK, CHUNK)],
+                bufD.at[pl.ds(slot * CHUNK, CHUNK)],
+                in_sems.at[0, slot],
+            ),
+            pltpu.make_async_copy(
+                offs_hbm.at[bt, pl.ds(c * rows_per_chunk, rows_per_chunk)],
+                bufO.at[slot],
+                in_sems.at[1, slot],
+            ),
+        )
+
+    for d in dmas(0, 0):
+        d.start()
+    st[0] = jnp.zeros((1, BT), jnp.float32)  # i
+    st[1] = jnp.zeros((1, BT), jnp.float32)  # j
+    st[2] = jnp.zeros((1, BT), jnp.float32)  # nk
+
+    def chunk_body(c, _):
+        slot = lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            for d in dmas(c + 1, 1 - slot):
+                d.start()
+
+        for d in dmas(c, slot):
+            d.wait()
+
+        @pl.when(c >= 2)
+        def _():
+            pltpu.make_async_copy(
+                bufOut.at[slot],
+                ops_hbm.at[bt, pl.ds(0, rows_per_chunk)],
+                out_sems.at[slot],
+            ).wait()
+
+        def row_body(r, _):
+            offs_tile = bufO[slot, r].astype(jnp.float32)  # (8, BT)
+            outs = []
+            for sub in range(8):
+                # diagonal index: traced (c, r) + static sub, as exact f32
+                k_f = (c * CHUNK + r * 8 + sub).astype(jnp.float32)
+                i = st[0]
+                j = st[1]
+                nk = st[2]
+                active = jnp.where(
+                    (nk == k_f) & ((i < m) | (j < n)), 1.0, 0.0
+                )
+                o_k = offs_tile[sub : sub + 1, :]
+                b = j - o_k  # (1, BT) f32
+                in_band = jnp.where((b >= 0) & (b < W), 1.0, 0.0)
+                tile = bufD[slot * CHUNK + r * 8 + sub]  # (W, BT) int8
+                # broadcast b to (W, BT) BEFORE comparing: (1, BT)
+                # predicates into (W, BT) shapes hit the v5e i1
+                # sublane-broadcast miscompile (realign kernel note)
+                b_full = zeros_w + b
+                oh = jnp.where(row_f == b_full, 1.0, 0.0)
+                d = jnp.sum(
+                    oh * tile.astype(jnp.float32), axis=0, keepdims=True
+                )
+                d = d * in_band + OP_NONE * (1.0 - in_band)
+                can_diag = jnp.where(
+                    (d == 0.0) & (i < m) & (j < n), 1.0, 0.0
+                )
+                can_del = jnp.where((d == 1.0) & (j < n), 1.0, 0.0)
+                can_ins = jnp.where((d == 2.0) & (i < m), 1.0, 0.0)
+                none_can = (
+                    (1.0 - can_diag) * (1.0 - can_del) * (1.0 - can_ins)
+                )
+                fb_del = none_can * jnp.where(j < n, 1.0, 0.0)
+                op = jnp.where(
+                    can_diag > 0,
+                    OP_M,
+                    jnp.where((can_del + fb_del) > 0, OP_D, OP_I),
+                )
+                op = op * active + OP_NONE * (1.0 - active)
+                di = active * jnp.where((op == OP_M) | (op == OP_I), 1.0, 0.0)
+                dj = active * jnp.where((op == OP_M) | (op == OP_D), 1.0, 0.0)
+                i = i + di
+                j = j + dj
+                nk = nk * (1.0 - active) + (i + j) * active
+                st[0] = i
+                st[1] = j
+                st[2] = nk
+                outs.append(op)
+
+            @pl.when(slot == 0)
+            def _(outs=outs, r=r):
+                bufOut[0, r] = jnp.concatenate(outs, axis=0)
+
+            @pl.when(slot == 1)
+            def _(outs=outs, r=r):
+                bufOut[1, r] = jnp.concatenate(outs, axis=0)
+
+            return 0
+
+        lax.fori_loop(0, rows_per_chunk, row_body, 0)
+        pltpu.make_async_copy(
+            bufOut.at[slot],
+            ops_hbm.at[bt, pl.ds(c * rows_per_chunk, rows_per_chunk)],
+            out_sems.at[slot],
+        ).start()
+        return 0
+
+    lax.fori_loop(0, n_chunks, chunk_body, 0)
+    for slot in range(min(2, n_chunks)):
+        pltpu.make_async_copy(
+            bufOut.at[slot],
+            ops_hbm.at[bt, pl.ds(0, rows_per_chunk)],
+            out_sems.at[slot],
+        ).wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k1_pad", "NB", "W", "interpret")
+)
+def _mea_tb_call(mn, dirs_raw, offs, k1_pad, NB, W, interpret=False):
+    kernel = functools.partial(_mea_tb_kernel, k1_pad=k1_pad, W=W)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec(
+                (None, 2, BT), lambda b: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((2 * CHUNK, W, BT), jnp.int8),
+            pltpu.VMEM((2, CHUNK // 8, 8, BT), jnp.int32),
+            pltpu.VMEM((2, CHUNK // 8, 8, BT), jnp.float32),
+            pltpu.VMEM((4, 1, BT), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct((NB, k1_pad // 8, 8, BT), jnp.float32),
+    ]
+    (ops,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(mn, dirs_raw, offs)
+    # ops stay f32 inside the kernel (traced-index int8 stores
+    # miscompile on v5e); cast on device so the host pull is 1 byte
+    # per diagonal, not 4 (the pull is the walker's dominant cost on
+    # remote runtimes)
+    return ops.astype(jnp.int8)
+
+
+def traceback_cigars_pallas(
+    dirs_raw, offsets, m, n, interpret: bool = False
+) -> list[list[tuple[int, int]]]:
+    """Cigars via the on-chip walker (the TPU production traceback)."""
+    from nanopore_tpu.ops.mea import _rle_ops_row
+
+    ops = mea_traceback_ops_pallas(dirs_raw, offsets, m, n, interpret)
+    return [_rle_ops_row(ops[b]) for b in range(ops.shape[0])]
+
+
+def mea_traceback_ops_pallas(
+    dirs_raw, offsets, m, n, interpret: bool = False
+) -> np.ndarray:
+    """(B, K1) int8 op codes from the raw direction layout, walked on
+    chip.  Same op semantics as ops.mea._traceback_ops_jit."""
+    NB, K1, W, BT_ = dirs_raw.shape
+    assert BT_ == BT
+    offsets = np.asarray(offsets)
+    m = np.asarray(m)
+    n = np.asarray(n)
+    B = m.shape[0]
+    k1_pad = -(-K1 // CHUNK) * CHUNK
+
+    offs = np.zeros((NB * BT, k1_pad), np.int32)
+    ko = min(offsets.shape[1], K1)
+    offs[:B, :ko] = offsets[:, :ko]
+    offs[:B, ko:] = offsets[:, -1:]
+    offs_l = np.ascontiguousarray(
+        offs.reshape(NB, BT, k1_pad // 8, 8).transpose(0, 2, 3, 1)
+    )
+    mn = np.zeros((NB, 2, BT), np.int32)
+    mn[:, 0].reshape(-1)[:B] = m
+    mn[:, 1].reshape(-1)[:B] = n
+
+    dr = dirs_raw
+    if k1_pad != K1:
+        import jax.numpy as jnp_
+
+        pad = jnp_.full(
+            (NB, k1_pad - K1, W, BT), 3, jnp_.int8
+        )  # DIR_NONE
+        dr = jnp_.concatenate([jnp_.asarray(dirs_raw), pad], axis=1)
+
+    ops = np.asarray(
+        _mea_tb_call(
+            jnp.asarray(mn), jnp.asarray(dr), jnp.asarray(offs_l),
+            k1_pad, NB, W, interpret,
+        )
+    )
+    # (NB, k1_pad//8, 8, BT) -> (B, K1)
+    return (
+        ops.transpose(0, 3, 1, 2).reshape(NB * BT, k1_pad)[:B, :K1]
+    )
