@@ -575,14 +575,16 @@ class PreparedViterbi:
 
         self.launch()
         if self._plan is not None:
-            from nanopore_tpu.ops.pairhmm_pallas_viterbi import (
-                viterbi_traceback_batch,
+            # on-chip walker over the packed planes (the XLA scan costs
+            # seconds per batch in loop overhead, ops.traceback_pallas)
+            from nanopore_tpu.ops.traceback_pallas import (
+                viterbi_cigars_pallas,
             )
 
             out = self._out
-            cigars = viterbi_traceback_batch(
+            cigars = viterbi_cigars_pallas(
                 out["bp_raw"], self.batch.offsets, self.batch.m,
-                self.batch.n, out["fstate"],
+                self.batch.n, np.asarray(out["fstate"]),
             )
             return np.asarray(out["score"], np.float64), cigars
         from nanopore_tpu.ops.viterbi import viterbi_traceback

@@ -224,6 +224,253 @@ def _mea_tb_call(mn, dirs_raw, offs, k1_pad, NB, W, interpret=False):
     return ops.astype(jnp.int8)
 
 
+def _vit_tb_kernel(
+    mns_ref,  # (4, BT) int32 VMEM block: rows m, n, fstate, pad
+    bp_hbm,  # (NB, K1_pad * 2, W, BT) int8 (k-major plane rows)
+    offs_hbm,  # (NB, K1_pad // 8, 8, BT) int32
+    ops_hbm,  # (NB, K1_pad // 8, 8, BT) f32 out
+    bufD,  # (2 * CHUNK * 2, W, BT) int8
+    bufO,  # (2, CHUNK // 8, 8, BT) int32
+    bufOut,  # (2, CHUNK // 8, 8, BT) f32
+    st,  # (4, 1, BT) f32: i, j, s
+    in_sems,  # DMA (2, 2)
+    out_sems,  # DMA (2,)
+    *,
+    k1_pad: int,
+    W: int,
+):
+    """Descending Viterbi walk over the base-5-packed plane rows
+    (semantics of ops.viterbi.viterbi_traceback; op at column k = move
+    INTO diagonal k's path cell)."""
+    bt = pl.program_id(0)
+    n_chunks = k1_pad // CHUNK
+    rows_per_chunk = CHUNK // 8
+
+    row_f = lax.broadcasted_iota(jnp.int32, (W, BT), 0).astype(jnp.float32)
+    zeros_w = jnp.zeros((W, BT), jnp.float32)
+    m = mns_ref[0:1, :].astype(jnp.float32)
+    n = mns_ref[1:2, :].astype(jnp.float32)
+
+    def dmas(c, slot):
+        return (
+            pltpu.make_async_copy(
+                bp_hbm.at[bt, pl.ds(c * CHUNK * 2, CHUNK * 2)],
+                bufD.at[pl.ds(slot * CHUNK * 2, CHUNK * 2)],
+                in_sems.at[0, slot],
+            ),
+            pltpu.make_async_copy(
+                offs_hbm.at[bt, pl.ds(c * rows_per_chunk, rows_per_chunk)],
+                bufO.at[slot],
+                in_sems.at[1, slot],
+            ),
+        )
+
+    for d in dmas(n_chunks - 1, (n_chunks - 1) % 2):
+        d.start()
+    st[0] = m
+    st[1] = n
+    st[2] = mns_ref[2:3, :].astype(jnp.float32)
+
+    def mod5(x):
+        return x - 5.0 * jnp.floor(x / 5.0)
+
+    def chunk_body(ci, _):
+        c = n_chunks - 1 - ci
+        slot = lax.rem(c, 2)
+
+        @pl.when(c >= 1)
+        def _():
+            for d in dmas(c - 1, 1 - slot):
+                d.start()
+
+        for d in dmas(c, slot):
+            d.wait()
+
+        @pl.when(ci >= 2)
+        def _():
+            pltpu.make_async_copy(
+                bufOut.at[slot],
+                ops_hbm.at[bt, pl.ds(0, rows_per_chunk)],
+                out_sems.at[slot],
+            ).wait()
+
+        def row_body(ri, _):
+            r = rows_per_chunk - 1 - ri
+            offs_tile = bufO[slot, r].astype(jnp.float32)
+            outs = [None] * 8
+            for sub in range(7, -1, -1):
+                k_f = (c * CHUNK + r * 8 + sub).astype(jnp.float32)
+                i = st[0]
+                j = st[1]
+                s = st[2]
+                at_origin = jnp.where((i == 0) & (j == 0), 1.0, 0.0)
+                active = jnp.where(i + j == k_f, 1.0, 0.0) * (
+                    1.0 - at_origin
+                )
+                o_k = offs_tile[sub : sub + 1, :]
+                b_full = zeros_w + (j - o_k)
+                oh = jnp.where(row_f == b_full, 1.0, 0.0)
+                base = slot * CHUNK * 2 + (r * 8 + sub) * 2
+                p0 = jnp.sum(
+                    oh * bufD[base].astype(jnp.float32), axis=0,
+                    keepdims=True,
+                )
+                p1 = jnp.sum(
+                    oh * bufD[base + 1].astype(jnp.float32), axis=0,
+                    keepdims=True,
+                )
+                prev = jnp.where(
+                    s == 0.0,
+                    mod5(p0),
+                    jnp.where(
+                        s == 1.0,
+                        mod5(jnp.floor(p0 / 5.0)),
+                        jnp.where(
+                            s == 2.0,
+                            jnp.floor(p0 / 25.0),
+                            jnp.where(
+                                s == 3.0, mod5(p1), jnp.floor(p1 / 5.0)
+                            ),
+                        ),
+                    ),
+                )
+                is_del = jnp.where((s == 1.0) | (s == 3.0), 1.0, 0.0)
+                op = jnp.where(
+                    s == 0.0, OP_M, jnp.where(is_del > 0, OP_D, OP_I)
+                )
+                op = op * active + OP_NONE * (1.0 - active)
+                di = active * jnp.where(
+                    (s == 0.0) | (s == 2.0) | (s == 4.0), 1.0, 0.0
+                )
+                dj = active * jnp.where(
+                    (s == 0.0) | (s == 1.0) | (s == 3.0), 1.0, 0.0
+                )
+                st[0] = i - di
+                st[1] = j - dj
+                st[2] = s * (1.0 - active) + prev * active
+                outs[sub] = op
+
+            @pl.when(slot == 0)
+            def _(outs=outs, r=r):
+                bufOut[0, r] = jnp.concatenate(outs, axis=0)
+
+            @pl.when(slot == 1)
+            def _(outs=outs, r=r):
+                bufOut[1, r] = jnp.concatenate(outs, axis=0)
+
+            return 0
+
+        lax.fori_loop(0, rows_per_chunk, row_body, 0)
+        pltpu.make_async_copy(
+            bufOut.at[slot],
+            ops_hbm.at[bt, pl.ds(c * rows_per_chunk, rows_per_chunk)],
+            out_sems.at[slot],
+        ).start()
+        return 0
+
+    lax.fori_loop(0, n_chunks, chunk_body, 0)
+    for slot in range(min(2, n_chunks)):
+        pltpu.make_async_copy(
+            bufOut.at[slot],
+            ops_hbm.at[bt, pl.ds(0, rows_per_chunk)],
+            out_sems.at[slot],
+        ).wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k1_pad", "NB", "W", "interpret")
+)
+def _vit_tb_call(mns, bp_rows, offs, k1_pad, NB, W, interpret=False):
+    kernel = functools.partial(_vit_tb_kernel, k1_pad=k1_pad, W=W)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec(
+                (None, 4, BT), lambda b: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((2 * CHUNK * 2, W, BT), jnp.int8),
+            pltpu.VMEM((2, CHUNK // 8, 8, BT), jnp.int32),
+            pltpu.VMEM((2, CHUNK // 8, 8, BT), jnp.float32),
+            pltpu.VMEM((4, 1, BT), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct((NB, k1_pad // 8, 8, BT), jnp.float32),
+    ]
+    (ops,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(mns, bp_rows, offs)
+    return ops.astype(jnp.int8)
+
+
+def viterbi_traceback_ops_pallas(
+    bp_raw, offsets, m, n, fstate, interpret: bool = False
+) -> np.ndarray:
+    """(B, K1) int8 op codes from the raw Viterbi plane layout."""
+    NB, K1, P2, W, BT_ = bp_raw.shape
+    assert P2 == 2 and BT_ == BT
+    offsets = np.asarray(offsets)
+    m = np.asarray(m)
+    n = np.asarray(n)
+    fstate = np.asarray(fstate)
+    B = m.shape[0]
+    k1_pad = -(-K1 // CHUNK) * CHUNK
+
+    offs = np.zeros((NB * BT, k1_pad), np.int32)
+    ko = min(offsets.shape[1], K1)
+    offs[:B, :ko] = offsets[:, :ko]
+    offs[:B, ko:] = offsets[:, -1:]
+    offs_l = np.ascontiguousarray(
+        offs.reshape(NB, BT, k1_pad // 8, 8).transpose(0, 2, 3, 1)
+    )
+    mns = np.zeros((NB, 4, BT), np.int32)
+    mns[:, 0].reshape(-1)[:B] = m
+    mns[:, 1].reshape(-1)[:B] = n
+    mns[:, 2].reshape(-1)[:B] = fstate
+
+    import jax.numpy as jnp_
+
+    bp_rows = jnp_.asarray(bp_raw).reshape(NB, K1 * 2, W, BT)
+    if k1_pad != K1:
+        pad = jnp_.zeros((NB, (k1_pad - K1) * 2, W, BT), jnp_.int8)
+        bp_rows = jnp_.concatenate([bp_rows, pad], axis=1)
+
+    ops = np.asarray(
+        _vit_tb_call(
+            jnp.asarray(mns), bp_rows, jnp.asarray(offs_l),
+            k1_pad, NB, W, interpret,
+        )
+    )
+    return (
+        ops.transpose(0, 3, 1, 2).reshape(NB * BT, k1_pad)[:B, :K1]
+    )
+
+
+def viterbi_cigars_pallas(
+    bp_raw, offsets, m, n, fstate, interpret: bool = False
+) -> list[list[tuple[int, int]]]:
+    """Cigars via the on-chip Viterbi walker."""
+    from nanopore_tpu.ops.mea import _rle_ops_row
+
+    ops = viterbi_traceback_ops_pallas(
+        bp_raw, offsets, m, n, fstate, interpret
+    )
+    return [_rle_ops_row(ops[b]) for b in range(ops.shape[0])]
+
+
 def traceback_cigars_pallas(
     dirs_raw, offsets, m, n, interpret: bool = False
 ) -> list[list[tuple[int, int]]]:

@@ -19,16 +19,23 @@ from nanopore_tpu.ops.pairhmm_pallas_realign import (
 from nanopore_tpu.ops.traceback_pallas import traceback_cigars_pallas
 
 
+import nanopore_tpu.ops.pairhmm_pallas_viterbi as ppv
+
+
 @pytest.fixture(scope="module", autouse=True)
 def small_kernel_geometry():
-    olds = (ppr.CHUNK, ppr.SEG, tbp.CHUNK)
+    olds = (ppr.CHUNK, ppr.SEG, tbp.CHUNK, ppv.CHUNK, ppv.SEG)
     ppr.CHUNK = 8
     ppr.SEG = 4
     tbp.CHUNK = 8
+    ppv.CHUNK = 8
+    ppv.SEG = 4
     yield
-    ppr.CHUNK, ppr.SEG, tbp.CHUNK = olds
+    ppr.CHUNK, ppr.SEG, tbp.CHUNK, ppv.CHUNK, ppv.SEG = olds
     ppr._pallas_realign_call.clear_cache()
     tbp._mea_tb_call.clear_cache()
+    tbp._vit_tb_call.clear_cache()
+    ppv._pallas_viterbi_call.clear_cache()
 
 
 def test_matches_xla_and_host_walk():
@@ -60,3 +67,33 @@ def test_matches_xla_and_host_walk():
     for b, (x, y, _) in enumerate(pairs):
         host = mea_traceback_fwd(bands[b], offsets[b], len(y), len(x))
         assert got[b] == want[b] == host
+
+
+def test_viterbi_walker_matches_xla_walk():
+    from nanopore_tpu.ops.pairhmm_pallas_viterbi import (
+        pallas_viterbi,
+        viterbi_traceback_batch,
+    )
+    from nanopore_tpu.ops.traceback_pallas import viterbi_cigars_pallas
+
+    rng = np.random.default_rng(41)
+    params = make_kernel_params(PairHmmModel.default())
+    pairs = []
+    x0 = rng.integers(0, 4, 18).astype(np.int8)
+    y0 = x0.copy()
+    y0[rng.integers(0, 18, 3)] = rng.integers(0, 4, 3)
+    pairs.append((x0, y0, [(CIG.M, 18)]))
+    x1 = rng.integers(0, 4, 16).astype(np.int8)
+    pairs.append((x1, x1[:10].copy(), [(CIG.M, 5), (CIG.D, 6), (CIG.M, 5)]))
+    batch = prepare_banded_batch(pairs, band_width=8, device=False)
+    out = pallas_viterbi(batch, params, interpret=True)
+    offsets = np.asarray(batch.offsets)
+    want = viterbi_traceback_batch(
+        out["bp_raw"], offsets, batch.m, batch.n, out["fstate"]
+    )
+    got = viterbi_cigars_pallas(
+        out["bp_raw"], offsets, np.asarray(batch.m),
+        np.asarray(batch.n), np.asarray(out["fstate"]), interpret=True,
+    )
+    for b in range(len(pairs)):
+        assert got[b] == want[b]
