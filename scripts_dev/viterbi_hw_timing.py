@@ -29,7 +29,9 @@ from nanopore_tpu.ops.pairhmm import (  # noqa: E402
 )
 from nanopore_tpu.ops.pairhmm_pallas_viterbi import (  # noqa: E402
     PallasViterbiPlan,
-    viterbi_traceback_batch,
+)
+from nanopore_tpu.ops.traceback_pallas import (  # noqa: E402
+    viterbi_cigars_pallas,
 )
 
 
@@ -78,11 +80,13 @@ def main():
         flush=True,
     )
 
-    # with on-device traceback (the full decode path)
+    # with the on-chip traceback walker (the full decode path)
     def decode_once():
         out = plan.run()
-        cigs = viterbi_traceback_batch(
-            out["bp_raw"], batch.offsets, batch.m, batch.n, out["fstate"]
+        cigs = viterbi_cigars_pallas(
+            out["bp_raw"], np.asarray(batch.offsets),
+            np.asarray(batch.m), np.asarray(batch.n),
+            np.asarray(out["fstate"]),
         )
         return len(cigs)
 
