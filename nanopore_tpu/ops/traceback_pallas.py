@@ -42,14 +42,17 @@ OP_M, OP_D, OP_I, OP_NONE = 0.0, 1.0, 2.0, 3.0
 
 
 def _mea_tb_kernel(
-    mn_ref,  # (2, BT) int32 VMEM block: rows m, n
+    mn_ref,  # (2, BT) int32 VMEM block: rows m, n (o[0] is always 0)
     dirs_hbm,  # (NB, K1_pad, W, BT) int8 (k-major direction codes)
-    offs_hbm,  # (NB, K1_pad // 8, 8, BT) int32 band offsets
+    d1_hbm,  # (NB, K1_pad // 64, 8, BT) int8: Lipschitz-1 band deltas,
+    #          8 diagonals bit-packed per byte (bit q of the byte at
+    #          row r = d1 of diagonal r*8+q) — 1 bit per diagonal per
+    #          lane instead of a 4-byte offset, ~30x less upload
     ops_hbm,  # (NB, K1_pad // 8, 8, BT) int8 out
     bufD,  # (2*CHUNK, W, BT) int8
-    bufO,  # (2, CHUNK // 8, 8, BT) int32
+    bufO,  # (2, CHUNK // 64, 8, BT) int8 packed deltas
     bufOut,  # (2, CHUNK // 8, 8, BT) f32 staged op codes
-    st,  # (4, 1, BT) f32: i, j, nk (and scratch)
+    st,  # (4, 1, BT) f32: i, j, nk, running band offset o
     in_sems,  # DMA (2, 2)
     out_sems,  # DMA (2,)
     *,
@@ -62,6 +65,7 @@ def _mea_tb_kernel(
 
     row_f = lax.broadcasted_iota(jnp.int32, (W, BT), 0).astype(jnp.float32)
     zeros_w = jnp.zeros((W, BT), jnp.float32)
+    sub8 = lax.broadcasted_iota(jnp.int32, (8, BT), 0)
     m = mn_ref[0:1, :].astype(jnp.float32)
     n = mn_ref[1:2, :].astype(jnp.float32)
 
@@ -73,7 +77,7 @@ def _mea_tb_kernel(
                 in_sems.at[0, slot],
             ),
             pltpu.make_async_copy(
-                offs_hbm.at[bt, pl.ds(c * rows_per_chunk, rows_per_chunk)],
+                d1_hbm.at[bt, pl.ds(c * (CHUNK // 64), CHUNK // 64)],
                 bufO.at[slot],
                 in_sems.at[1, slot],
             ),
@@ -84,6 +88,7 @@ def _mea_tb_kernel(
     st[0] = jnp.zeros((1, BT), jnp.float32)  # i
     st[1] = jnp.zeros((1, BT), jnp.float32)  # j
     st[2] = jnp.zeros((1, BT), jnp.float32)  # nk
+    st[3] = jnp.zeros((1, BT), jnp.float32)  # running o (o[0] = 0)
 
     def chunk_body(c, _):
         slot = lax.rem(c, 2)
@@ -105,18 +110,25 @@ def _mea_tb_kernel(
             ).wait()
 
         def row_body(r, _):
-            offs_tile = bufO[slot, r].astype(jnp.float32)  # (8, BT)
+            # this row's packed delta byte: tile r // 8, sub-row r % 8
+            # (dynamic sub-row via an 8-wide one-hot, never a gather)
+            dtile = bufO[slot, lax.div(r, 8)].astype(jnp.int32)
+            rsel = jnp.where(sub8 == lax.rem(r, 8), 1, 0)
+            dbyte = jnp.sum(dtile * rsel, axis=0, keepdims=True)  # (1, BT)
             outs = []
             for sub in range(8):
                 # diagonal index: traced (c, r) + static sub, as exact f32
                 k_f = (c * CHUNK + r * 8 + sub).astype(jnp.float32)
+                # integrate the band offset: o_k = o_{k-1} + d1_k
+                d1_k = ((dbyte >> sub) & 1).astype(jnp.float32)
+                o_k = st[3] + d1_k
+                st[3] = o_k
                 i = st[0]
                 j = st[1]
                 nk = st[2]
                 active = jnp.where(
                     (nk == k_f) & ((i < m) | (j < n)), 1.0, 0.0
                 )
-                o_k = offs_tile[sub : sub + 1, :]
                 b = j - o_k  # (1, BT) f32
                 in_band = jnp.where((b >= 0) & (b < W), 1.0, 0.0)
                 tile = bufD[slot * CHUNK + r * 8 + sub]  # (W, BT) int8
@@ -184,7 +196,7 @@ def _mea_tb_kernel(
 @functools.partial(
     jax.jit, static_argnames=("k1_pad", "NB", "W", "interpret")
 )
-def _mea_tb_call(mn, dirs_raw, offs, k1_pad, NB, W, interpret=False):
+def _mea_tb_call(mn, dirs_raw, d1p, k1_pad, NB, W, interpret=False):
     kernel = functools.partial(_mea_tb_kernel, k1_pad=k1_pad, W=W)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -200,7 +212,7 @@ def _mea_tb_call(mn, dirs_raw, offs, k1_pad, NB, W, interpret=False):
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
             pltpu.VMEM((2 * CHUNK, W, BT), jnp.int8),
-            pltpu.VMEM((2, CHUNK // 8, 8, BT), jnp.int32),
+            pltpu.VMEM((2, CHUNK // 64, 8, BT), jnp.int8),
             pltpu.VMEM((2, CHUNK // 8, 8, BT), jnp.float32),
             pltpu.VMEM((4, 1, BT), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
@@ -216,7 +228,7 @@ def _mea_tb_call(mn, dirs_raw, offs, k1_pad, NB, W, interpret=False):
         out_shape=out_shapes,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(mn, dirs_raw, offs)
+    )(mn, dirs_raw, d1p)
     # ops stay f32 inside the kernel (traced-index int8 stores
     # miscompile on v5e); cast on device so the host pull is 1 byte
     # per diagonal, not 4 (the pull is the walker's dominant cost on
@@ -492,15 +504,21 @@ def mea_traceback_ops_pallas(
     m = np.asarray(m)
     n = np.asarray(n)
     B = m.shape[0]
+    assert CHUNK % 64 == 0, "delta packing needs CHUNK in 64s"
     k1_pad = -(-K1 // CHUNK) * CHUNK
 
+    # pack the Lipschitz-1 band deltas to 1 bit per diagonal per lane
+    # (o[0] is 0 by band construction; the kernel integrates)
     offs = np.zeros((NB * BT, k1_pad), np.int32)
     ko = min(offsets.shape[1], K1)
     offs[:B, :ko] = offsets[:, :ko]
     offs[:B, ko:] = offsets[:, -1:]
-    offs_l = np.ascontiguousarray(
-        offs.reshape(NB, BT, k1_pad // 8, 8).transpose(0, 2, 3, 1)
-    )
+    d1 = np.zeros((NB * BT, k1_pad), np.uint8)
+    d1[:, 1:] = (offs[:, 1:] - offs[:, :-1]).astype(np.uint8)
+    d1p = np.packbits(d1, axis=1, bitorder="little")  # (NB*BT, k1_pad/8)
+    d1p_l = np.ascontiguousarray(
+        d1p.reshape(NB, BT, k1_pad // 64, 8).transpose(0, 2, 3, 1)
+    ).view(np.int8)
     mn = np.zeros((NB, 2, BT), np.int32)
     mn[:, 0].reshape(-1)[:B] = m
     mn[:, 1].reshape(-1)[:B] = n
@@ -516,7 +534,7 @@ def mea_traceback_ops_pallas(
 
     ops = np.asarray(
         _mea_tb_call(
-            jnp.asarray(mn), jnp.asarray(dr), jnp.asarray(offs_l),
+            jnp.asarray(mn), jnp.asarray(dr), jnp.asarray(d1p_l),
             k1_pad, NB, W, interpret,
         )
     )

@@ -20,7 +20,7 @@ def small_kernel_geometry():
     olds = (ppr.CHUNK, ppr.SEG, tbp.CHUNK)
     ppr.CHUNK = 8
     ppr.SEG = 4
-    tbp.CHUNK = 8
+    tbp.CHUNK = 64
     yield
     ppr.CHUNK, ppr.SEG, tbp.CHUNK = olds
     ppr._pallas_realign_call.clear_cache()

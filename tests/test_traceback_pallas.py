@@ -27,7 +27,7 @@ def small_kernel_geometry():
     olds = (ppr.CHUNK, ppr.SEG, tbp.CHUNK, ppv.CHUNK, ppv.SEG)
     ppr.CHUNK = 8
     ppr.SEG = 4
-    tbp.CHUNK = 8
+    tbp.CHUNK = 64
     ppv.CHUNK = 8
     ppv.SEG = 4
     yield
