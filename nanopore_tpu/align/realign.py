@@ -62,7 +62,11 @@ def realign_records(
     when ``rescore`` (the --rescoreByPosteriorProbIgnoringGaps analogue),
     else an empty list.
     """
-    from nanopore_tpu.ops.dispatch import kernel_choice
+    from nanopore_tpu.ops.dispatch import (
+        _PALLAS_BAND_WIDTHS,
+        kernel_choice,
+        require_gamma_safe_backend,
+    )
     from nanopore_tpu.ops.posteriors import rescore_from_post
 
     params = make_kernel_params(model or PairHmmModel.default())
@@ -70,8 +74,18 @@ def realign_records(
     batch_size = preferred_realign_batch_size(batch_size)
     # rescore on TPU: the fused kernel streams the gamma_match band
     # (emit_gamma), so redecode + rescore stay on device; elsewhere the
-    # two-pass forward_backward path serves small test batches
-    pallas_rescore = rescore and kernel_choice() == "pallas"
+    # two-pass forward_backward path serves small test batches.  Band
+    # widths the Pallas kernel does not serve would fall through to the
+    # XLA forward_backward, whose gammas are known-wrong on TPU
+    # (gamma_probe r3) — require_gamma_safe_backend below refuses that
+    # combination instead of rescoring with corrupt posteriors.
+    pallas_rescore = (
+        rescore
+        and kernel_choice() == "pallas"
+        and band_width in _PALLAS_BAND_WIDTHS
+    )
+    if rescore and not pallas_rescore:
+        require_gamma_safe_backend(band_width)
 
     # bucket by padded shapes to bound recompiles
     buckets: dict[tuple[int, int], list[int]] = {}

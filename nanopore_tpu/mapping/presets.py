@@ -38,6 +38,13 @@ class MapperSpec:
     combined: bool = False
     gap_gamma: float = 0.5  # abstractMapper.py:25 defaults
     match_gamma: float = 0.0
+    # band width for the realign/EM POST-passes (the mapping extension
+    # keeps MapperConfig.band_width=64: its guide is a coarse anchor
+    # chain).  The reference's production realign band is 21 cells
+    # (--diagonalExpansion=10, analyses/utils.py:587) — W=32 covers it
+    # with slack at half the cells/read of W=64, and is hardware-
+    # validated end to end (scripts_dev/w32_probe.py).
+    band_width: int = 32
 
     @property
     def base_name(self) -> str:

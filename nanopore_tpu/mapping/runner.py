@@ -217,7 +217,8 @@ def _run_mapper_distributed(
                     reference_fasta_file,
                 )
                 opts = dc_replace(
-                    em_options or EmOptions(), use_mesh=True
+                    em_options or EmOptions(band_width=spec.band_width),
+                    use_mesh=True,
                 )
                 if opts.checkpoint_path is None:
                     # shared-FS path so every host resumes in lockstep
@@ -244,6 +245,7 @@ def _run_mapper_distributed(
                 gap_gamma=spec.gap_gamma,
                 match_gamma=spec.match_gamma,
                 hmm_model=model,
+                band_width=spec.band_width,
                 shard=(pi, pc),
             )
             dist.barrier("realign:" + output_sam_file)
@@ -280,4 +282,5 @@ def _inplace_realign(
             gap_gamma=spec.gap_gamma,
             match_gamma=spec.match_gamma,
             hmm_model=model,
+            band_width=spec.band_width,
         )

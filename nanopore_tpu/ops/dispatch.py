@@ -58,6 +58,42 @@ def kernel_choice() -> str:
 _PALLAS_BAND_WIDTHS = (32, 64)
 
 
+def tpu_backend() -> bool:
+    """True when the default backend is a real TPU (Mosaic-capable)."""
+    try:
+        import jax
+
+        return jax.default_backend() in _PALLAS_PLATFORMS
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+
+
+def require_gamma_safe_backend(band_width: int) -> None:
+    """Refuse to produce XLA forward_backward gammas on a TPU backend.
+
+    Round-3 hardware finding (scripts_dev/gamma_probe.py, PERF.md): the
+    XLA scan's gamma bands miscompile on TPU (~0.03% of cells off by up
+    to ~170 at K=10^4).  Posteriors are a correctness product
+    (reference alignmentUncertainty.py:41) — on TPU they must come from
+    the Pallas ``emit_gamma`` stream, which serves band widths in
+    _PALLAS_BAND_WIDTHS.  Raises with the repack instruction instead of
+    silently handing corrupt bands downstream.  Escape hatch for
+    probes/bisection: NANOPORE_TPU_ALLOW_TPU_GAMMA=1.
+    """
+    if not tpu_backend():
+        return
+    if os.environ.get("NANOPORE_TPU_ALLOW_TPU_GAMMA") == "1":
+        return
+    raise RuntimeError(
+        "posterior gamma bands requested from the XLA forward_backward "
+        "on a TPU backend (band_width=%d): XLA's TPU scan compiles these "
+        "gammas WRONG (scripts_dev/gamma_probe.py).  Repack the batch to "
+        "band_width in %s so the Pallas emit_gamma stream serves it, or "
+        "run on CPU.  Set NANOPORE_TPU_ALLOW_TPU_GAMMA=1 only for "
+        "miscompile probes." % (band_width, _PALLAS_BAND_WIDTHS)
+    )
+
+
 def prefer_host_batch(band_width: int = 64) -> bool:
     """True when new banded batches will feed the Pallas repack: build
     them with prepare_banded_batch(device=False) so the band tensors
@@ -196,10 +232,15 @@ def realign_fused_auto(
     gap_gamma: float = 0.5,
     match_gamma: float = 0.0,
 ) -> dict:
-    """Fused realign (loglik/score/trans/emis/dirs) on the best backend.
+    """Fused realign (loglik/score/trans/emis) on the best backend.
 
-    Drop-in for ops.mea.realign_fused; dirs point forward in both
-    implementations (decode with ops.mea.mea_traceback_fwd).
+    Direction layout differs by backend: the XLA path returns per-read
+    ``dirs`` bands (decode with ops.mea.mea_traceback_fwd /
+    traceback_cigars_batch); the Pallas path returns the kernel-native
+    k-major ``dirs_raw`` (decode with
+    ops.traceback_pallas.traceback_cigars_pallas, or convert via
+    ops.pairhmm_pallas_realign.dirs_band_from_raw).  PreparedRealign
+    .decode() hides the difference — prefer it.
     """
     if kernel_choice() == "pallas" and pallas_eligible(batch):
         from nanopore_tpu.ops.pairhmm_pallas_realign import (
@@ -454,6 +495,11 @@ class PreparedPosteriors:
                 emit_em=False,
             )
         else:
+            # FAIL-SAFE: the XLA forward_backward gamma bands are known
+            # wrong on TPU backends (round-3 hardware finding,
+            # scripts_dev/gamma_probe.py) — never hand corrupt
+            # posteriors to SNP caller / uncertainty consumers.
+            require_gamma_safe_backend(batch.xc.shape[-1])
             self.batch = _place_batch(batch, device)
             self._plan = None
 

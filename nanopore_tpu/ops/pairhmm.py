@@ -672,16 +672,12 @@ def forward_backward(batch: BandedBatch, params: KernelParams) -> dict:
     must take the Pallas route (ops.dispatch.PreparedPosteriors does);
     this function is the CPU/virtual-mesh backend.
     """
-    import jax
+    # fail-safe, not warn-only: on TPU backends this raises unless the
+    # NANOPORE_TPU_ALLOW_TPU_GAMMA probe escape hatch is set — corrupt
+    # gammas must never reach posterior consumers silently
+    from nanopore_tpu.ops.dispatch import require_gamma_safe_backend
 
-    if jax.default_backend() in ("tpu", "axon"):
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "forward_backward gamma bands are UNRELIABLE on TPU "
-            "backends (XLA scan miscompilation, see gamma_probe r3); "
-            "use the Pallas emit_gamma stream (PreparedPosteriors)"
-        )
+    require_gamma_safe_backend(batch.band_width)
     return _forward_backward_jit(
         params, batch.xc, batch.yc, batch.xn, batch.yn, batch.offsets,
         batch.m, batch.n, batch.k_end, batch.band_width,

@@ -534,7 +534,20 @@ def viterbi_traceback_batch(
     fj = np.asarray(fj).reshape(-1)
     out = []
     for b in range(B):
-        assert fi[b] == 0 and fj[b] == 0, "viterbi traceback left the band"
+        if fi[b] != 0 or fj[b] != 0:
+            # a malformed band/backpointer stream must not kill the
+            # whole batch (and a bare assert vanishes under python -O,
+            # silently emitting a truncated cigar): mark THIS read
+            # failed — callers drop empty-cigar records
+            import logging
+
+            logging.getLogger(__name__).error(
+                "viterbi traceback left the band for read %d "
+                "(stopped at i=%d j=%d); emitting no alignment",
+                b, int(fi[b]), int(fj[b]),
+            )
+            out.append([])
+            continue
         sel = ops_b[b][ops_b[b] != OP_NONE]
         cigar: list[tuple[int, int]] = []
         for op in sel:

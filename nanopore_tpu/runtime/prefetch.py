@@ -98,7 +98,26 @@ def prefetched_map(
 
         def worker():
             while not cancel.is_set():
-                task = task_q.get()
+                # backpressure on COMPLETED results: without this, a fast
+                # fn (pack + async launch) runs ahead of the consumer and
+                # the unbounded `done` dict accumulates the whole input
+                # stream as launched device batches — busting the
+                # documented "at most depth + workers in flight" bound
+                # (each Prepared* pins large device tensors).  Wait until
+                # the consumer drains below `depth` before taking work.
+                with lock:
+                    while len(done) >= depth and not cancel.is_set():
+                        lock.wait(timeout=0.2)
+                if cancel.is_set():
+                    return
+                try:
+                    # timeout + re-check: when the consumer abandons the
+                    # iterator mid-stream the feeder may exit before
+                    # delivering every worker a sentinel — a bare get()
+                    # would park this thread forever.
+                    task = task_q.get(timeout=0.2)
+                except queue.Empty:
+                    continue
                 if task is _SENTINEL:
                     return
                 i, it = task
@@ -146,6 +165,7 @@ def prefetched_map(
                     if nxt not in done:
                         continue
                     res = done.pop(nxt)
+                    lock.notify_all()  # wake workers waiting on backpressure
                 nxt += 1
                 yield res
         finally:

@@ -20,18 +20,12 @@ import argparse
 import os
 import sys
 
-import numpy as np
-
 from nanopore_tpu.align.model import PairHmmModel
 from nanopore_tpu.io.encoding import encode
 from nanopore_tpu.io.sam import SamReader, CIG
 from nanopore_tpu.io.seqio import fasta_read, fastq_read
-from nanopore_tpu.ops.pairhmm import (
-    make_kernel_params,
-    prepare_banded_batch,
-    forward_backward,
-)
-from nanopore_tpu.ops.mea import mea_decode_batch, mea_traceback
+from nanopore_tpu.ops.dispatch import PreparedRealign, prepared_from_pairs
+from nanopore_tpu.ops.pairhmm import make_kernel_params
 
 
 def alignment_metrics(cigar, read_codes, ref_codes):
@@ -131,17 +125,20 @@ def rescue(template_sam, complement_sam, twod_sam, working_dir, output_dir,
                     if len(x) > d:
                         guide.append((CIG.D, len(x) - d))
                     pairs.append((x, y, guide))
-                batch = prepare_banded_batch(pairs, band_width=band_width)
-                fb = forward_backward(batch, params)
-                dirs, _ = mea_decode_batch(
-                    fb, batch.offsets, batch.m, batch.n, band_width
+                # backend-dispatched MEA redecode (Pallas kernel + on-
+                # device traceback on TPU, XLA scans elsewhere) — this
+                # path previously consumed XLA forward_backward bands,
+                # which are gamma-unsafe on TPU (gamma_probe r3)
+                prep = prepared_from_pairs(
+                    {"emit_em": False},
+                    pairs,
+                    params,
+                    band_width=band_width,
+                    prepared_cls=PreparedRealign,
                 )
-                dirs = np.asarray(dirs)
-                offs = np.asarray(batch.offsets)
+                _, cigars, _ = prep.decode()
                 for b, (name, ref_name, seq, window) in enumerate(sub):
-                    cigar = mea_traceback(
-                        dirs[b], offs[b], len(seq), len(window)
-                    )
+                    cigar = cigars[b]
                     metrics = alignment_metrics(
                         cigar, encode(seq), encode(window)
                     )

@@ -18,6 +18,10 @@ Run:
 import os
 import sys
 
+# this probe EXISTS to exercise the known-bad TPU gamma path; production
+# code refuses it (ops.dispatch.require_gamma_safe_backend)
+os.environ.setdefault("NANOPORE_TPU_ALLOW_TPU_GAMMA", "1")
+
 import numpy as np
 
 cache_dir = os.path.join(os.path.dirname(os.path.dirname(

@@ -129,3 +129,57 @@ class TestPreparedPosteriors:
         np.testing.assert_allclose(
             np.asarray(out["loglik"]), np.asarray(fb["loglik"]), rtol=1e-6
         )
+
+
+class TestGammaFailSafe:
+    """TPU backends must never silently consume the XLA forward_backward
+    gamma bands (known-miscompiled there, scripts_dev/gamma_probe.py):
+    the fail-safe raises with a repack instruction instead."""
+
+    def _fake_tpu(self, monkeypatch):
+        import jax
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    def test_forward_backward_refuses_on_tpu(self, fb_case, monkeypatch):
+        _, batch, _ = fb_case
+        self._fake_tpu(monkeypatch)
+        params = make_kernel_params(PairHmmModel.default())
+        with pytest.raises(RuntimeError, match="gamma"):
+            forward_backward(batch, params)
+
+    def test_forward_backward_escape_hatch(self, fb_case, monkeypatch):
+        _, batch, _ = fb_case
+        self._fake_tpu(monkeypatch)
+        monkeypatch.setenv("NANOPORE_TPU_ALLOW_TPU_GAMMA", "1")
+        params = make_kernel_params(PairHmmModel.default())
+        out = forward_backward(batch, params)  # probes may opt in
+        assert "gamma_match" in out
+
+    def test_prepared_posteriors_refuses_ineligible_band_on_tpu(
+        self, fb_case, monkeypatch
+    ):
+        from nanopore_tpu.ops.dispatch import PreparedPosteriors
+
+        _, batch, _ = fb_case  # W=8: not a Pallas-served band width
+        self._fake_tpu(monkeypatch)
+        params = make_kernel_params(PairHmmModel.default())
+        with pytest.raises(RuntimeError, match="band_width"):
+            PreparedPosteriors(batch, params)
+
+    def test_realign_rescore_refuses_odd_band_on_tpu(self, monkeypatch):
+        from nanopore_tpu.align.realign import realign_records
+        from nanopore_tpu.io.sam import SamRecord
+
+        self._fake_tpu(monkeypatch)
+        # force the XLA kernel so the rescore path would consume
+        # forward_backward gammas — must refuse, not warn
+        monkeypatch.setenv("NANOPORE_TPU_KERNEL", "xla")
+        rec = SamRecord(
+            qname="r", flag=0, rname="ref", pos=0, mapq=0,
+            cigar=[(CIG.M, 4)], seq="ACGT", qual="*",
+        )
+        with pytest.raises(RuntimeError, match="gamma"):
+            realign_records(
+                [rec], {"ref": "ACGT"}, rescore=True, band_width=8
+            )
