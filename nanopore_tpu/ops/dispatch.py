@@ -94,6 +94,17 @@ def require_gamma_safe_backend(band_width: int) -> None:
     )
 
 
+def pack_choice() -> str:
+    """How Pallas-path batches are packed: 'stream' (default — host
+    streams 1 byte/diagonal/read and the ops.pack_pallas kernel builds
+    the band codes ON DEVICE) or 'host' (full host-side band pack +
+    upload; pre-round-4 behaviour).  Override with NANOPORE_TPU_PACK."""
+    mode = os.environ.get("NANOPORE_TPU_PACK", "auto")
+    if mode in ("stream", "host"):
+        return mode
+    return "stream"
+
+
 def prefer_host_batch(band_width: int = 64) -> bool:
     """True when new banded batches will feed the Pallas repack: build
     them with prepare_banded_batch(device=False) so the band tensors
@@ -206,11 +217,30 @@ def prepared_from_pairs(
         kernel_choice() == "pallas" and band_width in _PALLAS_BAND_WIDTHS
     )
     if use_pallas:
-        from nanopore_tpu.ops.pairhmm_pallas_realign import (
-            pack_pallas_pairs,
-        )
+        if pack_choice() == "stream":
+            # on-device band construction (cactus_realign builds its
+            # band from sequences inside the binary; so do we): the
+            # host streams ~1 byte per diagonal per read and the packer
+            # kernel writes the packed band codes straight into HBM —
+            # ~65x less upload than the host-packed band tensor
+            from nanopore_tpu.ops.pack_pallas import (
+                materialize_xyc,
+                pack_stream_pairs,
+            )
 
-        prep = pack_pallas_pairs(pairs, params, band_width, k_max)
+            prep = pack_stream_pairs(pairs, params, band_width, k_max)
+            prep = materialize_xyc(
+                prep,
+                device=cls_kwargs.get("device"),
+                interpret=os.environ.get("NANOPORE_TPU_PACK_INTERPRET")
+                == "1",
+            )
+        else:
+            from nanopore_tpu.ops.pairhmm_pallas_realign import (
+                pack_pallas_pairs,
+            )
+
+            prep = pack_pallas_pairs(pairs, params, band_width, k_max)
         lite = LitePack(
             offsets=prep["offsets"], m=prep["m"], n=prep["n"],
             k_end=prep["k_end"], band_width=band_width,

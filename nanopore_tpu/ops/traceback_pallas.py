@@ -237,14 +237,17 @@ def _mea_tb_call(mn, dirs_raw, d1p, k1_pad, NB, W, interpret=False):
 
 
 def _vit_tb_kernel(
-    mns_ref,  # (4, BT) int32 VMEM block: rows m, n, fstate, pad
+    mns_ref,  # (4, BT) int32 VMEM block: rows m, n, fstate, o[k1_pad-1]
     bp_hbm,  # (NB, K1_pad * 2, W, BT) int8 (k-major plane rows)
-    offs_hbm,  # (NB, K1_pad // 8, 8, BT) int32
+    d1_hbm,  # (NB, K1_pad // 64, 8, BT) int8: band deltas, 8 diagonals
+    #          bit-packed per byte (same layout as the MEA walker) —
+    #          1 bit per diagonal per lane instead of a 4-byte offset,
+    #          the walk integrates o DESCENDING from mns row 3
     ops_hbm,  # (NB, K1_pad // 8, 8, BT) f32 out
     bufD,  # (2 * CHUNK * 2, W, BT) int8
-    bufO,  # (2, CHUNK // 8, 8, BT) int32
+    bufO,  # (2, CHUNK // 64, 8, BT) int8 packed deltas
     bufOut,  # (2, CHUNK // 8, 8, BT) f32
-    st,  # (4, 1, BT) f32: i, j, s
+    st,  # (4, 1, BT) f32: i, j, s, running band offset o
     in_sems,  # DMA (2, 2)
     out_sems,  # DMA (2,)
     *,
@@ -260,6 +263,7 @@ def _vit_tb_kernel(
 
     row_f = lax.broadcasted_iota(jnp.int32, (W, BT), 0).astype(jnp.float32)
     zeros_w = jnp.zeros((W, BT), jnp.float32)
+    sub8 = lax.broadcasted_iota(jnp.int32, (8, BT), 0)
     m = mns_ref[0:1, :].astype(jnp.float32)
     n = mns_ref[1:2, :].astype(jnp.float32)
 
@@ -271,7 +275,7 @@ def _vit_tb_kernel(
                 in_sems.at[0, slot],
             ),
             pltpu.make_async_copy(
-                offs_hbm.at[bt, pl.ds(c * rows_per_chunk, rows_per_chunk)],
+                d1_hbm.at[bt, pl.ds(c * (CHUNK // 64), CHUNK // 64)],
                 bufO.at[slot],
                 in_sems.at[1, slot],
             ),
@@ -282,6 +286,7 @@ def _vit_tb_kernel(
     st[0] = m
     st[1] = n
     st[2] = mns_ref[2:3, :].astype(jnp.float32)
+    st[3] = mns_ref[3:4, :].astype(jnp.float32)  # o at the top diagonal
 
     def mod5(x):
         return x - 5.0 * jnp.floor(x / 5.0)
@@ -308,7 +313,12 @@ def _vit_tb_kernel(
 
         def row_body(ri, _):
             r = rows_per_chunk - 1 - ri
-            offs_tile = bufO[slot, r].astype(jnp.float32)
+            # this row's packed delta byte (bit sub = d1 of diagonal
+            # r*8 + sub), extracted with an 8-wide one-hot — never a
+            # gather (MEA walker pattern)
+            dtile = bufO[slot, lax.div(r, 8)].astype(jnp.int32)
+            rsel = jnp.where(sub8 == lax.rem(r, 8), 1, 0)
+            dbyte = jnp.sum(dtile * rsel, axis=0, keepdims=True)  # (1, BT)
             outs = [None] * 8
             for sub in range(7, -1, -1):
                 k_f = (c * CHUNK + r * 8 + sub).astype(jnp.float32)
@@ -319,7 +329,7 @@ def _vit_tb_kernel(
                 active = jnp.where(i + j == k_f, 1.0, 0.0) * (
                     1.0 - at_origin
                 )
-                o_k = offs_tile[sub : sub + 1, :]
+                o_k = st[3]
                 b_full = zeros_w + (j - o_k)
                 oh = jnp.where(row_f == b_full, 1.0, 0.0)
                 base = slot * CHUNK * 2 + (r * 8 + sub) * 2
@@ -360,6 +370,8 @@ def _vit_tb_kernel(
                 st[0] = i - di
                 st[1] = j - dj
                 st[2] = s * (1.0 - active) + prev * active
+                # integrate the band offset downward: o[k-1] = o[k] - d1[k]
+                st[3] = o_k - ((dbyte >> sub) & 1).astype(jnp.float32)
                 outs[sub] = op
 
             @pl.when(slot == 0)
@@ -392,7 +404,7 @@ def _vit_tb_kernel(
 @functools.partial(
     jax.jit, static_argnames=("k1_pad", "NB", "W", "interpret")
 )
-def _vit_tb_call(mns, bp_rows, offs, k1_pad, NB, W, interpret=False):
+def _vit_tb_call(mns, bp_rows, d1p, k1_pad, NB, W, interpret=False):
     kernel = functools.partial(_vit_tb_kernel, k1_pad=k1_pad, W=W)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -408,7 +420,7 @@ def _vit_tb_call(mns, bp_rows, offs, k1_pad, NB, W, interpret=False):
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
             pltpu.VMEM((2 * CHUNK * 2, W, BT), jnp.int8),
-            pltpu.VMEM((2, CHUNK // 8, 8, BT), jnp.int32),
+            pltpu.VMEM((2, CHUNK // 64, 8, BT), jnp.int8),
             pltpu.VMEM((2, CHUNK // 8, 8, BT), jnp.float32),
             pltpu.VMEM((4, 1, BT), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
@@ -424,8 +436,29 @@ def _vit_tb_call(mns, bp_rows, offs, k1_pad, NB, W, interpret=False):
         out_shape=out_shapes,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(mns, bp_rows, offs)
+    )(mns, bp_rows, d1p)
     return ops.astype(jnp.int8)
+
+
+def _d1_packed_lanes(offsets, NB: int, B: int, k1_pad: int, K1: int):
+    """Lane-ordered 1-bit/diagonal band-delta stream + padded offsets.
+
+    Returns (d1p_l (NB, k1_pad // 64, 8, BT) int8, offs (NB*BT, k1_pad)
+    int32) — the packed layout both walkers consume (o[0] = 0 by band
+    construction; pad rows repeat the final offset, so their deltas are
+    zero).
+    """
+    offs = np.zeros((NB * BT, k1_pad), np.int32)
+    ko = min(offsets.shape[1], K1)
+    offs[:B, :ko] = offsets[:, :ko]
+    offs[:B, ko:] = offsets[:, -1:]
+    d1 = np.zeros((NB * BT, k1_pad), np.uint8)
+    d1[:, 1:] = (offs[:, 1:] - offs[:, :-1]).astype(np.uint8)
+    d1p = np.packbits(d1, axis=1, bitorder="little")
+    d1p_l = np.ascontiguousarray(
+        d1p.reshape(NB, BT, k1_pad // 64, 8).transpose(0, 2, 3, 1)
+    ).view(np.int8)
+    return d1p_l, offs
 
 
 def viterbi_traceback_ops_pallas(
@@ -439,19 +472,18 @@ def viterbi_traceback_ops_pallas(
     n = np.asarray(n)
     fstate = np.asarray(fstate)
     B = m.shape[0]
+    assert CHUNK % 64 == 0, "delta packing needs CHUNK in 64s"
     k1_pad = -(-K1 // CHUNK) * CHUNK
 
-    offs = np.zeros((NB * BT, k1_pad), np.int32)
-    ko = min(offsets.shape[1], K1)
-    offs[:B, :ko] = offsets[:, :ko]
-    offs[:B, ko:] = offsets[:, -1:]
-    offs_l = np.ascontiguousarray(
-        offs.reshape(NB, BT, k1_pad // 8, 8).transpose(0, 2, 3, 1)
-    )
+    # band offsets ride as 1 bit/diagonal (o integrated DESCENDING from
+    # the top offset in mns row 3) — the 4-byte/diagonal offsets upload
+    # was ~1.6 s/batch at B=1024 on the remote link, dwarfing the walk
+    d1p_l, offs = _d1_packed_lanes(offsets, NB, B, k1_pad, K1)
     mns = np.zeros((NB, 4, BT), np.int32)
     mns[:, 0].reshape(-1)[:B] = m
     mns[:, 1].reshape(-1)[:B] = n
     mns[:, 2].reshape(-1)[:B] = fstate
+    mns[:, 3] = offs[:, k1_pad - 1].reshape(NB, BT)
 
     import jax.numpy as jnp_
 
@@ -462,7 +494,7 @@ def viterbi_traceback_ops_pallas(
 
     ops = np.asarray(
         _vit_tb_call(
-            jnp.asarray(mns), bp_rows, jnp.asarray(offs_l),
+            jnp.asarray(mns), bp_rows, jnp.asarray(d1p_l),
             k1_pad, NB, W, interpret,
         )
     )
@@ -509,16 +541,7 @@ def mea_traceback_ops_pallas(
 
     # pack the Lipschitz-1 band deltas to 1 bit per diagonal per lane
     # (o[0] is 0 by band construction; the kernel integrates)
-    offs = np.zeros((NB * BT, k1_pad), np.int32)
-    ko = min(offsets.shape[1], K1)
-    offs[:B, :ko] = offsets[:, :ko]
-    offs[:B, ko:] = offsets[:, -1:]
-    d1 = np.zeros((NB * BT, k1_pad), np.uint8)
-    d1[:, 1:] = (offs[:, 1:] - offs[:, :-1]).astype(np.uint8)
-    d1p = np.packbits(d1, axis=1, bitorder="little")  # (NB*BT, k1_pad/8)
-    d1p_l = np.ascontiguousarray(
-        d1p.reshape(NB, BT, k1_pad // 64, 8).transpose(0, 2, 3, 1)
-    ).view(np.int8)
+    d1p_l, _ = _d1_packed_lanes(offsets, NB, B, k1_pad, K1)
     mn = np.zeros((NB, 2, BT), np.int32)
     mn[:, 0].reshape(-1)[:B] = m
     mn[:, 1].reshape(-1)[:B] = n

@@ -38,11 +38,12 @@ def _pairs(rng):
     return pairs
 
 
-def test_litepack_pallas_route_decodes_like_xla(params=None):
+def test_litepack_pallas_route_decodes_like_xla(monkeypatch):
     """Forced-pallas prepared_from_pairs (interpret mode) must produce
     the same logliks/cigars as the default XLA route — covers the
     LitePack metadata, _from_prep plumbing, raw dirs layout and the
     on-chip walker end to end."""
+    monkeypatch.setenv("NANOPORE_TPU_PACK", "host")  # host-pack route
     rng = np.random.default_rng(61)
     params = make_kernel_params(PairHmmModel.default())
     pairs = _pairs(rng)
@@ -103,3 +104,53 @@ def test_pallas_backend_odd_band_width_falls_back_to_xla():
         m = sum(l for op, l in cigs[b] if op in (CIG.M, CIG.I))
         n = sum(l for op, l in cigs[b] if op in (CIG.M, CIG.D))
         assert (m, n) == (len(y), len(x))
+
+def test_streampack_pallas_route_decodes_like_xla(monkeypatch):
+    """Forced-pallas prepared_from_pairs with the ON-DEVICE packer
+    (stream pack, interpret mode) must match the XLA route end to end
+    — covers ops.pack_pallas host streaming, the packer kernel, and
+    its hand-off into PallasRealignPlan."""
+    import nanopore_tpu.ops.pack_pallas as pkp
+
+    monkeypatch.setenv("NANOPORE_TPU_PACK", "stream")
+    monkeypatch.setenv("NANOPORE_TPU_PACK_INTERPRET", "1")
+    monkeypatch.setattr(pkp, "CHUNK", 8)
+    monkeypatch.setattr(pkp, "SEG", 8)
+    rng = np.random.default_rng(61)
+    params = make_kernel_params(PairHmmModel.default())
+    pairs = _pairs(rng)
+
+    want = dispatch.prepared_from_pairs(
+        {}, pairs, params, band_width=8, prepared_cls=dispatch.PreparedRealign
+    )
+    want_ll, want_cigs, _ = want.decode()
+
+    orig_run = ppr.PallasRealignPlan.run
+    orig_tb = tbp._mea_tb_call
+
+    def interp_tb(mn, dirs_raw, offs, k1_pad, NB, W, interpret=False):
+        return orig_tb(mn, dirs_raw, offs, k1_pad, NB, W, True)
+
+    with mock.patch.object(dispatch, "kernel_choice", lambda: "pallas"), \
+         mock.patch.object(
+             dispatch, "_PALLAS_BAND_WIDTHS", (8, 32, 64)
+         ), \
+         mock.patch.object(
+             ppr.PallasRealignPlan, "run",
+             lambda self: orig_run(self, interpret=True),
+         ), \
+         mock.patch.object(tbp, "_mea_tb_call", interp_tb):
+        got = dispatch.prepared_from_pairs(
+            {},
+            pairs,
+            params,
+            band_width=8,
+            prepared_cls=dispatch.PreparedRealign,
+        )
+        assert isinstance(got.batch, dispatch.LitePack)
+        got_ll, got_cigs, _ = got.decode()
+    pkp._pack_call.clear_cache()
+
+    np.testing.assert_allclose(got_ll, want_ll, rtol=1e-4)
+    for b in range(len(pairs)):
+        assert got_cigs[b] == want_cigs[b]
