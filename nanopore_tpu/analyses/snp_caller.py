@@ -161,7 +161,15 @@ class MarginAlignSnpCaller(Analysis):
                 ]
                 pairs.append((x, y, guide))
             return sub, prepared_from_pairs(
-                {},
+                # expectations only: the fused in-kernel retire stream
+                # replaces the gamma-band emission + XLA retire scan —
+                # ~16 bytes/diagonal cross to the host instead of the
+                # full posterior band (reference :149-155)
+                {
+                    "emit_gamma": False,
+                    "emit_exp": True,
+                    "exp_threshold": POSTERIOR_THRESHOLD,
+                },
                 pairs,
                 params,
                 band_width=self.band_width,
@@ -178,6 +186,7 @@ class MarginAlignSnpCaller(Analysis):
                 np.asarray(prep.batch.offsets),
                 np.asarray(prep.batch.n),
                 threshold=POSTERIOR_THRESHOLD,
+                band_width=self.band_width,
             )
             for b, idx in enumerate(sub):
                 out[idx] = exps[b]

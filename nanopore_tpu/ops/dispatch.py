@@ -509,20 +509,26 @@ class PreparedPosteriors:
     """
 
     def __init__(
-        self, batch: BandedBatch, params: KernelParams, device=None
+        self, batch: BandedBatch, params: KernelParams, device=None,
+        emit_gamma: bool = True, emit_exp: bool = False,
+        exp_threshold: float = 1e-3,
     ):
         self._params = params
+        self._gamma = emit_gamma
+        self._exp = emit_exp
         if kernel_choice() == "pallas" and pallas_eligible(batch):
             from nanopore_tpu.ops.pairhmm_pallas_realign import (
                 PallasRealignPlan,
             )
 
             self.batch = batch
-            # gamma + loglik only: the posterior consumers need no
-            # Baum-Welch expectations, so skip that accumulator work
+            # only what the consumer asked for: gamma band for rescore
+            # (uncertainty), the fused retire stream for expectations
+            # (SNP caller) — no Baum-Welch accumulators either way
             self._plan = PallasRealignPlan(
-                batch, params, emit_gamma=True, device=device,
-                emit_em=False,
+                batch, params, emit_gamma=emit_gamma, device=device,
+                emit_em=False, emit_exp=emit_exp,
+                exp_threshold=exp_threshold,
             )
         else:
             # FAIL-SAFE: the XLA forward_backward gamma bands are known
@@ -536,7 +542,8 @@ class PreparedPosteriors:
     @classmethod
     def _from_prep(
         cls, lite: LitePack, params: KernelParams, prep: dict,
-        device=None,
+        device=None, emit_gamma: bool = True, emit_exp: bool = False,
+        exp_threshold: float = 1e-3,
     ) -> "PreparedPosteriors":
         from nanopore_tpu.ops.pairhmm_pallas_realign import (
             PallasRealignPlan,
@@ -544,11 +551,14 @@ class PreparedPosteriors:
 
         self = cls.__new__(cls)
         self._params = params
+        self._gamma = emit_gamma
+        self._exp = emit_exp
         self._out = None
         self.batch = lite
         self._plan = PallasRealignPlan(
-            None, params, emit_gamma=True, device=device,
-            emit_em=False, prep=prep,
+            None, params, emit_gamma=emit_gamma, device=device,
+            emit_em=False, prep=prep, emit_exp=emit_exp,
+            exp_threshold=exp_threshold,
         )
         return self
 
@@ -565,11 +575,14 @@ class PreparedPosteriors:
             out = self._plan.run()
             # k-major raw layouts; consume with the ops.posteriors
             # *_from_post wrappers (no band transposes)
-            return {
-                "gamma_raw": out["gamma_raw"],
-                "yc_raw": self._plan.yc_raw(),
-                "loglik": out["loglik"],
-            }
+            res = {"loglik": out["loglik"]}
+            if self._gamma:
+                res["gamma_raw"] = out["gamma_raw"]
+                res["yc_raw"] = self._plan.yc_raw()
+            if self._exp:
+                res["ret_raw"] = out["ret_raw"]
+                res["flush_raw"] = out["flush_raw"]
+            return res
         import jax.numpy as jnp
 
         from nanopore_tpu.ops.pairhmm import forward_backward

@@ -70,7 +70,7 @@ def _realign_kernel(
     tf_ref,  # (25,) f32 transitions [from*5+to]
     emf_ref,  # (36,) f32 match emissions [x*6+y]
     egf_ref,  # (30,) f32 gap emissions [state*6+base]
-    gg_ref,  # (2,) f32: [gapGamma, matchGamma]
+    gg_ref,  # (3,) f32: [gapGamma, matchGamma, expThreshold]
     # tensor inputs
     kend_ref,  # (1, BT) int32 VMEM block
     # Packed code tiles additionally carry the PER-READ band geometry
@@ -98,6 +98,13 @@ def _realign_kernel(
     #          mode — the --outputAllPosteriorProbs equivalent,
     #          reference marginAlignSnpCaller.py:136-146); (1,1,1)
     #          dummy otherwise
+    ret_hbm,  # (NB*(K_pad+1), 4, BT) f32 retired expectation rows
+    #          (emit_exp mode — the SNP caller's per-reference-position
+    #          expected base counts, marginAlignSnpCaller.py:149-155,
+    #          fused into the backward sweep as a band-following
+    #          retire accumulator); (1,1,1) dummy otherwise
+    flush_ref,  # (4, W, BT) f32 VMEM out: the accumulator's surviving
+    #          columns after diagonal 0 (positions w-1); (1,1,1) dummy
     # NOTE: all DMA addressing below uses a SINGLE dynamic offset on the
     # leading dim (rows flattened host-side) — the only start/wait src
     # patterns validated fast+correct on hardware (scripts_dev ladders)
@@ -128,11 +135,15 @@ def _realign_kernel(
     bnd_sems,  # DMA (2, 3): phase-A staged dumps, per stage slot
     gm_buf,  # (2*SEG, W, BT) f32 gamma staging (emit_gamma) else (1,1,1)
     gm_sems,  # DMA (2,)
+    exp_buf,  # (4, W, BT) f32 expectation accumulator (emit_exp) else (1,1,1)
+    ret_buf,  # (2*SEG, 4, BT) f32 retired-row staging (emit_exp)
+    ret_sems,  # DMA (2,)
     *,
     k_pad: int,
     W: int,
     emit_gamma: bool,
     emit_em: bool,
+    emit_exp: bool,
 ):
     bt = pl.program_id(0)
     n_chunks = k_pad // CHUNK
@@ -217,14 +228,17 @@ def _realign_kernel(
         return t, (t - hi) - y
 
     def fwd_diag_step(k_new, xy, prev, prevprev, r, ls_cur, acc, fin_reg,
-                      rescale):
+                      rescale, need_ll=True):
         """One forward anti-diagonal (identical math to pairhmm_pallas).
 
         ``ls_cur`` is the (hi, c) Kahan pair of the running log-scale
         (feeds only the loglik output); per-read band shift amounts come
         from the code tiles' top bits; ``fin_reg`` captures the
         band-start mass at each lane's k_end (seeds the backward
-        g-factor product).
+        g-factor product).  ``need_ll=False`` (the phase-B remat pass,
+        whose loglik/fin accumulators are dummies) skips the log-scale
+        Kahan update, the band-start reduction and the per-diagonal
+        ``log`` — pure dead code there, ~10% of the remat pass.
         """
         xy32 = xy.astype(jnp.int32)
         d1, d1p = band_bits(xy32)  # o[k]-o[k-1], o[k-1]-o[k-2] per lane
@@ -259,20 +273,22 @@ def _realign_kernel(
             safe = jnp.where(scale > 0, scale, 1.0)
             inv = 1.0 / safe
             new = [arr * inv for arr in new]
-            ls_hi, ls_c = kahan_add(ls_hi, ls_c, jnp.log(safe))
+            if need_ll:
+                ls_hi, ls_c = kahan_add(ls_hi, ls_c, jnp.log(safe))
             safe_inv = inv
         else:
             safe_inv = None
-        fin = zb
-        for s in range(NUM_STATES):
-            fin = fin + new[s][0:1, :]
-        is_end = k_new == kend
-        fin_reg = jnp.where(is_end, jnp.maximum(fin, 1e-37), fin_reg)
-        acc = acc + jnp.where(
-            is_end,
-            jnp.log(jnp.maximum(fin, 1e-37)) + (ls_hi - ls_c),
-            0.0,
-        )
+        if need_ll:
+            fin = zb
+            for s in range(NUM_STATES):
+                fin = fin + new[s][0:1, :]
+            is_end = k_new == kend
+            fin_reg = jnp.where(is_end, jnp.maximum(fin, 1e-37), fin_reg)
+            acc = acc + jnp.where(
+                is_end,
+                jnp.log(jnp.maximum(fin, 1e-37)) + (ls_hi - ls_c),
+                0.0,
+            )
         emis = (e_m, gx1, gx3, gy2, gy4)
         return new, (ls_hi, ls_c), safe_inv, acc, fin_reg, emis
 
@@ -404,6 +420,9 @@ def _realign_kernel(
     if emit_em:
         for i in range(57):
             em_buf[i] = zeros
+    if emit_exp:
+        for i in range(4):
+            exp_buf[i] = zeros
     mea_buf[0] = neg_tile  # u1
     mea_buf[1] = neg_tile  # u2
     for i in range(2, 6):
@@ -509,6 +528,30 @@ def _realign_kernel(
         g_k = jnp.minimum(g_k, 3e37)  # keep dead lanes finite
         gamma = [f_hat[s] * new[s] * g_k for s in range(NUM_STATES)]
 
+        # ---- fused posterior expectation retire (emit_exp) ----
+        # The SNP caller's band-following accumulator (reference
+        # marginAlignSnpCaller.py:149-155; XLA twin
+        # ops.posteriors._expectation_streams_jit) run DESCENDING: the
+        # accumulator lives in diagonal k's band coordinates, so the
+        # k+1 -> k transition shifts columns UP by d1[k+1], permanently
+        # retiring band column W-1 — reference position o[k+1] + W - 2
+        # — then diagonal k's thresholded gamma_match mass is binned by
+        # the read base (cur-code bits 0-2; sentinel/N codes bin
+        # nowhere, matching the oracle's base < 4 rule).
+        ret_row = None
+        if emit_exp:
+            d1nf = d1n.astype(jnp.float32)  # (W, BT), constant along W
+            gmz = gamma[0] * jnp.where(gamma[0] > gg_ref[2], 1.0, 0.0)
+            oh_xc_e, oh_yc_e = _unpack_onehots(cur_tile)
+            rets = []
+            for s4 in range(4):
+                a = exp_buf[s4]
+                rets.append(a[W - 1 : W, :] * d1nf[0:1, :])
+                sh = shift_w(a, -1, 0.0)
+                a = a + d1nf * (sh - a)
+                exp_buf[s4] = a + gmz * oh_yc_e[s4]
+            ret_row = jnp.concatenate(rets, axis=0)  # (4, BT)
+
         if emit_em:
             oh_xc, oh_yc = _unpack_onehots(cur_tile)
             for a in range(4):
@@ -552,7 +595,7 @@ def _realign_kernel(
             new, b1, inv, g_k,
             new_u, u1, g_m, gm1, g_d, g_i,
         )
-        return new_carry, choice
+        return new_carry, choice, ret_row
 
     def seg_body(si, _):
         s = S - 1 - si  # descending segment index
@@ -602,6 +645,12 @@ def _realign_kernel(
                     gm_hbm.at[pl.ds(bt * (k_pad + 1) + 1, SEG)],
                     gm_sems.at[slot],
                 ).wait()
+            if emit_exp:
+                pltpu.make_async_copy(
+                    ret_buf.at[pl.ds(slot * SEG, SEG)],
+                    ret_hbm.at[pl.ds(bt * (k_pad + 1) + 1, SEG)],
+                    ret_sems.at[slot],
+                ).wait()
 
         # ---- 1. rematerialise the segment's forward states ----
         a = [bndbuf[slot, st] for st in range(5)]
@@ -613,11 +662,11 @@ def _realign_kernel(
             t = slot * SEG + 2 * pp
             new_b, ls_b, _, _, _, em_b = fwd_diag_step(
                 k0 + 2 * pp + 1, bufc[t], a, b, rs, ls_a, dummy_acc,
-                ones_b, rescale=False,
+                ones_b, rescale=False, need_ll=False,
             )
             new_a, ls_a, rs, _, _, em_a = fwd_diag_step(
                 k0 + 2 * pp + 2, bufc[t + 1], new_b, a, ones_b, ls_b,
-                dummy_acc, ones_b, rescale=True,
+                dummy_acc, ones_b, rescale=True, need_ll=False,
             )
             for st in range(NUM_STATES):
                 f_buf[(2 * pp) * 5 + st] = new_b[st]
@@ -659,7 +708,7 @@ def _realign_kernel(
         )
         for kl in range(SEG - 1, -1, -1):
             sfinv_next = scal[7] if kl == SEG - 1 else sfinv_buf[kl + 1]
-            carry, choice = bwd_diag_step(
+            carry, choice, ret_row = bwd_diag_step(
                 k0 + kl + 1,
                 bufc[slot * SEG + kl],
                 cached_gap(kl + 1),
@@ -675,16 +724,20 @@ def _realign_kernel(
             # static-indexed under a predicate instead (traced int8
             # stores miscompiled on v5e, corrupting adjacent scratch)
             @pl.when(slot == 0)
-            def _store0(choice=choice, kl=kl):
+            def _store0(choice=choice, kl=kl, ret_row=ret_row):
                 dirs_buf[kl] = choice
                 if emit_gamma:
                     gm_buf[kl] = carry[6]
+                if emit_exp:
+                    ret_buf[kl] = ret_row
 
             @pl.when(slot == 1)
-            def _store1(choice=choice, kl=kl):
+            def _store1(choice=choice, kl=kl, ret_row=ret_row):
                 dirs_buf[SEG + kl] = choice
                 if emit_gamma:
                     gm_buf[SEG + kl] = carry[6]
+                if emit_exp:
+                    ret_buf[SEG + kl] = ret_row
 
         for st in range(NUM_STATES):
             bwd1[st] = carry[0][st]
@@ -708,6 +761,12 @@ def _realign_kernel(
                 gm_hbm.at[pl.ds(bt * (k_pad + 1) + k0 + 1, SEG)],
                 gm_sems.at[slot],
             ).start()
+        if emit_exp:
+            pltpu.make_async_copy(
+                ret_buf.at[pl.ds(slot * SEG, SEG)],
+                ret_hbm.at[pl.ds(bt * (k_pad + 1) + k0 + 1, SEG)],
+                ret_sems.at[slot],
+            ).start()
         return 0
 
     lax.fori_loop(0, S, seg_body, 0)
@@ -725,6 +784,12 @@ def _realign_kernel(
                 gm_hbm.at[pl.ds(bt * (k_pad + 1) + 1, SEG)],
                 gm_sems.at[slot],
             ).wait()
+        if emit_exp:
+            pltpu.make_async_copy(
+                ret_buf.at[pl.ds(slot * SEG, SEG)],
+                ret_hbm.at[pl.ds(bt * (k_pad + 1) + 1, SEG)],
+                ret_sems.at[slot],
+            ).wait()
 
     # ---- final step: diagonal 0 (forward state = start tile) ----
     # segment 0 ran in slot 0: bufc[0]/bufc[1] still hold the diag-1/2
@@ -739,7 +804,7 @@ def _realign_kernel(
         mea_buf[4], mea_buf[5],
     )
     # scal[7] now holds sfinv of diagonal 1 (segment 0's first)
-    carry, choice0 = bwd_diag_step(
+    carry, choice0, ret_row0 = bwd_diag_step(
         jnp.int32(0),
         sent_tile,
         tuple(e_cache[1 + e] for e in range(4)),
@@ -769,6 +834,20 @@ def _realign_kernel(
         )
         gp0.start()
         gp0.wait()
+    if emit_exp:
+        ret_buf[0] = ret_row0
+        rp0 = pltpu.make_async_copy(
+            ret_buf.at[pl.ds(0, 1)],
+            ret_hbm.at[pl.ds(bt * (k_pad + 1), 1)],
+            ret_sems.at[0],
+        )
+        rp0.start()
+        rp0.wait()
+        # surviving accumulator columns: reference positions w - 1
+        for s4 in range(4):
+            flush_ref[s4] = exp_buf[s4]
+    else:
+        flush_ref[0] = jnp.zeros((1, BT), jnp.float32)
 
     # ---- reduce EM accumulators over the band ----
     if emit_em:
@@ -1022,16 +1101,18 @@ def prepare_pallas_realign(batch: BandedBatch, params: KernelParams) -> dict:
     jax.jit,
     static_argnames=(
         "k_pad", "NB", "W", "interpret", "emit_gamma", "emit_em",
+        "emit_exp",
     ),
 )
 def _pallas_realign_call(
     tf, emf, egf, ggmg, kend, xyc,
     k_pad, NB, W, interpret=False, emit_gamma=False, emit_em=True,
+    emit_exp=False,
 ):
     S = k_pad // SEG
     kernel = functools.partial(
         _realign_kernel, k_pad=k_pad, W=W, emit_gamma=emit_gamma,
-        emit_em=emit_em,
+        emit_em=emit_em, emit_exp=emit_exp,
     )
     em_rows = (25, 16, 8, 8) if emit_em else (1, 1, 1, 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1073,6 +1154,12 @@ def _pallas_realign_call(
             pl.BlockSpec(memory_space=pl.ANY),  # bnd
             pl.BlockSpec(memory_space=pl.ANY),  # bscal
             pl.BlockSpec(memory_space=pl.ANY),  # gm (dummy when off)
+            pl.BlockSpec(memory_space=pl.ANY),  # ret (dummy when off)
+            pl.BlockSpec(
+                (None, 4, W, BT) if emit_exp else (None, 1, 1, BT),
+                lambda b, *_: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),  # flush
         ],
         scratch_shapes=[
             pltpu.VMEM((2 * CHUNK, W, BT), jnp.int8),  # bufA
@@ -1104,6 +1191,13 @@ def _pallas_realign_call(
                 jnp.float32,
             ),  # gm_buf
             pltpu.SemaphoreType.DMA((2,)),  # gm_sems
+            pltpu.VMEM(
+                (4, W, BT) if emit_exp else (1, 1, 1), jnp.float32
+            ),  # exp_buf
+            pltpu.VMEM(
+                (2 * SEG, 4, BT) if emit_exp else (1, 1, 1), jnp.float32
+            ),  # ret_buf
+            pltpu.SemaphoreType.DMA((2,)),  # ret_sems
         ],
     )
     out_shapes = [
@@ -1120,6 +1214,14 @@ def _pallas_realign_call(
             (NB * (k_pad + 1), W, BT) if emit_gamma else (1, 1, 1),
             jnp.float32,
         ),  # gm
+        jax.ShapeDtypeStruct(
+            (NB * (k_pad + 1), 4, BT) if emit_exp else (1, 1, 1),
+            jnp.float32,
+        ),  # ret
+        jax.ShapeDtypeStruct(
+            (NB, 4, W, BT) if emit_exp else (NB, 1, 1, BT),
+            jnp.float32,
+        ),  # flush
     ]
     outs = pl.pallas_call(
         kernel,
@@ -1128,7 +1230,7 @@ def _pallas_realign_call(
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(tf, emf, egf, ggmg, kend, xyc)
-    loglik, score, trans, e16, edel, eins, dirs, _, _, gm = outs
+    loglik, score, trans, e16, edel, eins, dirs, _, _, gm, ret, flush = outs
 
     def lanes(x):  # (NB, R, BT) -> (NB*BT, R)
         return jnp.transpose(x, (0, 2, 1)).reshape(x.shape[0] * BT, -1)
@@ -1171,6 +1273,14 @@ def _pallas_realign_call(
         # never need the (B, K1, W) transpose (~1.7 GB byte-shuffle at
         # posterior shapes); gamma_band_from_raw converts for tests
         out["gamma_raw"] = gm.reshape(NB, k_pad + 1, W, BT)
+    if emit_exp:
+        # retired expectation rows (k-major) + the final band flush —
+        # the only posterior tensors that must cross to the host for
+        # the SNP caller's scatter (ops.posteriors
+        # posterior_expectations_fused); ~(k_pad * 16) bytes per read
+        # instead of the full gamma band
+        out["ret_raw"] = ret.reshape(NB, k_pad + 1, 4, BT)
+        out["flush_raw"] = flush
     return out
 
 
@@ -1192,11 +1302,14 @@ class PallasRealignPlan:
         device=None,
         emit_em: bool = True,
         prep: dict | None = None,
+        emit_exp: bool = False,
+        exp_threshold: float = 1e-3,
     ):
         if prep is None:
             prep = prepare_pallas_realign(batch, params)
         self.emit_gamma = emit_gamma
         self.emit_em = emit_em
+        self.emit_exp = emit_exp
         self.device = device
         put = (
             jnp.asarray
@@ -1206,7 +1319,11 @@ class PallasRealignPlan:
         self.arrays = tuple(
             put(prep[k]) for k in ("tf", "emf", "egf")
         ) + (
-            put(np.array([gap_gamma, match_gamma], np.float32)),
+            put(
+                np.array(
+                    [gap_gamma, match_gamma, exp_threshold], np.float32
+                )
+            ),
             put(prep["kend"]),
             put(prep["xyc"]),
         )
@@ -1242,7 +1359,7 @@ class PallasRealignPlan:
     def run(self, interpret: bool = False) -> dict:
         out = _pallas_realign_call(
             *self.arrays, self.k_pad, self.NB, self.W, interpret,
-            self.emit_gamma, self.emit_em,
+            self.emit_gamma, self.emit_em, self.emit_exp,
         )
         B, K = self.B, self.K
         res = {
@@ -1259,6 +1376,9 @@ class PallasRealignPlan:
             res["emis"] = out["emis"][:B]
         if self.emit_gamma:
             res["gamma_raw"] = out["gamma_raw"]
+        if self.emit_exp:
+            res["ret_raw"] = out["ret_raw"]
+            res["flush_raw"] = out["flush_raw"]
         return res
 
 

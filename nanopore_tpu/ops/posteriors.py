@@ -321,6 +321,47 @@ def posterior_expectations_raw(
     return out
 
 
+def posterior_expectations_fused(
+    ret_raw, flush_raw, offsets: np.ndarray, ns: np.ndarray,
+    band_width: int,
+) -> list[np.ndarray]:
+    """Per-read (n, 4) expectation matrices from the KERNEL-FUSED
+    retire stream (ops.pairhmm_pallas_realign ``emit_exp``).
+
+    The fused accumulator runs DESCENDING inside the backward sweep:
+    ret row k holds the column retired on the k+1 -> k transition —
+    reference position ``o[k+1] + W - 2``, valid where ``d1[k+1] = 1``
+    — and the flush columns hold positions ``w - 1``.  Only these
+    ~16 bytes/diagonal (plus the flush) cross to the host, replacing
+    the XLA retire scan + full retired-band download.
+    """
+    ret = np.asarray(ret_raw)  # (NB, K1g, 4, BT)
+    fl = np.asarray(flush_raw)  # (NB, 4, W, BT)
+    NB, K1g, _, BTl = ret.shape
+    W = band_width
+    retired = ret.transpose(0, 3, 1, 2).reshape(NB * BTl, K1g, 4)
+    flush = fl.transpose(0, 3, 1, 2).reshape(NB * BTl, 4, W)
+    offsets = np.asarray(offsets)
+    out = []
+    fpos = np.arange(W) - 1
+    for b in range(len(ns)):
+        n = int(ns[b])
+        o = offsets[b]
+        kmax = min(len(o) - 1, K1g - 1)
+        d1 = o[1 : kmax + 1] - o[:kmax]  # d1[k+1] at index k
+        rows = np.nonzero(d1)[0]
+        pos = o[rows + 1] + W - 2
+        ok = (pos >= 0) & (pos < n)
+        e = np.zeros((n, 4), np.float32)
+        # each retired row / flush column is a DISTINCT position (the
+        # band retires each column exactly once) — plain indexed adds
+        e[pos[ok]] += retired[b, rows[ok]]
+        fok = (fpos >= 0) & (fpos < n)
+        e[fpos[fok]] += flush[b][:, fok].T
+        out.append(e)
+    return out
+
+
 def rescore_from_post(post: dict, offsets, cigars, band_width: int):
     """Layout-agnostic rescore over a PreparedPosteriors run() output."""
     if "gamma_raw" in post:
@@ -331,9 +372,20 @@ def rescore_from_post(post: dict, offsets, cigars, band_width: int):
 
 
 def expectations_from_post(
-    post: dict, offsets, ns, threshold: float = 1e-3
+    post: dict, offsets, ns, threshold: float = 1e-3,
+    band_width: int | None = None,
 ):
-    """Layout-agnostic posterior expectations over a run() output."""
+    """Layout-agnostic posterior expectations over a run() output.
+
+    Preference order: the kernel-fused retire stream (``ret_raw``,
+    threshold applied IN KERNEL at plan build time), then the raw gamma
+    band scan, then the per-read band scan.
+    """
+    if "ret_raw" in post:
+        W = band_width or post["flush_raw"].shape[2]
+        return posterior_expectations_fused(
+            post["ret_raw"], post["flush_raw"], offsets, ns, W
+        )
     if "gamma_raw" in post:
         return posterior_expectations_raw(
             post["gamma_raw"], post["yc_raw"], offsets, ns, threshold

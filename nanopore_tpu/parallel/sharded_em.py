@@ -191,7 +191,10 @@ def make_sharded_em_step_pallas(
     w = np.zeros((NB, 1, BT), np.float32)
     w.reshape(-1)[: len(weights)] = np.asarray(weights, np.float32)
     NB_local = NB // dp
-    ggmg = np.array([0.5, 0.0], np.float32)
+    # [gapGamma, matchGamma, expThreshold] — the E-step ignores all
+    # three (no MEA/posterior outputs requested), but the kernel's
+    # scalar table has three slots
+    ggmg = np.array([0.5, 0.0, 1e-3], np.float32)
 
     multiproc = jax.process_count() > 1
 

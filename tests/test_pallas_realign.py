@@ -432,3 +432,57 @@ class TestPallasRealign:
             np.asarray(got["emis"]), np.asarray(want["emis"]),
             rtol=2e-3, atol=1e-5,
         )
+
+
+class TestEmitExp:
+    def test_fused_retire_matches_oracle_expectations(self, params):
+        """emit_exp fuses the SNP expectation retire accumulator into
+        phase B (descending); scattering its retired rows + flush must
+        reproduce the ascending XLA oracle's per-position matrices
+        (posterior_expectations_batch) for every read."""
+        from nanopore_tpu.ops.pairhmm import forward_backward
+        from nanopore_tpu.ops.pairhmm_pallas_realign import (
+            PallasRealignPlan,
+        )
+        from nanopore_tpu.ops.posteriors import (
+            posterior_expectations_batch,
+            posterior_expectations_fused,
+        )
+
+        rng = np.random.default_rng(31)
+        pairs = []
+        x0 = rng.integers(0, 4, 16).astype(np.int8)
+        y0 = x0.copy()
+        y0[rng.integers(0, 16, 4)] = rng.integers(0, 4, 4)
+        y0[3] = 4  # N base: must bin nowhere
+        pairs.append((x0, y0, [(CIG.M, 16)]))
+        x1 = rng.integers(0, 4, 14).astype(np.int8)
+        pairs.append(
+            (x1, x1[:9].copy(), [(CIG.M, 4), (CIG.D, 5), (CIG.M, 5)])
+        )
+        x2 = rng.integers(0, 4, 10).astype(np.int8)
+        y2 = np.concatenate(
+            [x2[:5], rng.integers(0, 4, 4).astype(np.int8), x2[5:]]
+        )
+        pairs.append((x2, y2, [(CIG.M, 5), (CIG.I, 4), (CIG.M, 5)]))
+        batch = prepare_banded_batch(pairs, band_width=8)
+        offsets = np.asarray(batch.offsets)
+        ns = np.asarray(batch.n)
+        fb = forward_backward(batch, params)
+
+        for thr in (0.0, 1e-3):
+            want = posterior_expectations_batch(
+                fb["gamma_match"], batch.yc, offsets, ns, threshold=thr
+            )
+            plan = PallasRealignPlan(
+                batch, params, emit_em=False, emit_exp=True,
+                exp_threshold=thr,
+            )
+            got_out = plan.run(interpret=True)
+            got = posterior_expectations_fused(
+                got_out["ret_raw"], got_out["flush_raw"], offsets, ns, 8
+            )
+            for b in range(len(pairs)):
+                np.testing.assert_allclose(
+                    got[b], want[b], rtol=1e-3, atol=2e-3
+                )
