@@ -61,6 +61,15 @@ class MapperConfig:
     # Pallas Viterbi kernel at ~3x the MEA kernel's cells/s.  MEA
     # stays the default for marginAlign calibration parity.
     decode: str = "mea"
+    # mixed-length batching policy: when set, candidates bucket by the
+    # smallest bin >= n + m (their diagonal need) and each bucket
+    # compiles EXACTLY ONE kernel shape (k_max pinned to the bin).
+    # Bounds the compile-shape count for realistic nanopore length
+    # mixes — each new (k_pad, NB) shape is a full remote kernel
+    # compile — at the cost of padded diagonals inside a bin.  None
+    # (default): per-batch k_max tightened in 2048 steps (waste-optimal
+    # for length-homogeneous workloads).  Bins must be multiples of 128.
+    k_bins: tuple | None = None
 
 
 @dataclass
@@ -202,25 +211,37 @@ class MappingEngine:
         return cigar
 
     # ------------------------------------------------------------------ #
+    def _bucket_key(self, n: int, m: int) -> tuple:
+        """Compile-shape bucket for a candidate: a fixed k-bin when
+        config.k_bins is set (ONE kernel shape per bin), else the
+        padded (n, m) pow2 pair (k_max tightened per batch)."""
+        bins = self.config.k_bins
+        if bins:
+            need = n + m
+            for b in sorted(bins):
+                if need <= b:
+                    return ("k", int(b))
+            # overflow: fall through to the pow2 policy for outliers
+        return ("p", _next_pow2(n), _next_pow2(m))
+
     def _align_candidates(
         self, cands: list[_Candidate], quals: dict[str, str]
     ) -> list[SamRecord]:
         """Batch candidates through the banded kernel, build SAM records."""
         cfg = self.config
-        # bucket by padded problem size to bound recompilation
-        buckets: dict[tuple[int, int], list[_Candidate]] = {}
+        # bucket by compile shape to bound recompilation
+        buckets: dict[tuple, list[_Candidate]] = {}
         for c in cands:
             n = c.window_end - c.window_start
             m = len(c.read_codes)
-            key = (_next_pow2(n), _next_pow2(m))
-            buckets.setdefault(key, []).append(c)
+            buckets.setdefault(self._bucket_key(n, m), []).append(c)
 
         bs = preferred_realign_batch_size(cfg.batch_size)
         results: list[tuple[_Candidate, SamRecord, float]] = []
-        for (n_pad, m_pad), group in buckets.items():
+        for key, group in buckets.items():
             for i in range(0, len(group), bs):
                 sub = group[i : i + bs]
-                results.extend(self._align_batch(sub, n_pad, m_pad, quals))
+                results.extend(self._align_batch(sub, key, quals))
         by_read: dict[str, list[tuple[_Candidate, SamRecord, float]]] = {}
         for item in results:
             by_read.setdefault(item[0].name, []).append(item)
@@ -287,13 +308,14 @@ class MappingEngine:
                 int(max(0, min(60, round(primary_q)))) if c.primary else 0
             )
 
-    def _prepare_batch(self, sub, n_pad, m_pad):
+    def _prepare_batch(self, sub, key):
         """Host pack + device upload for one candidate batch (the
         expensive host side — runs on the prefetch thread).
 
-        prepared_from_pairs packs straight into the kernel layout (one
-        fused pass, k_max tightened to the batch's real diagonal need)
-        on TPU; elsewhere it builds the BandedBatch for the XLA scans.
+        prepared_from_pairs packs straight into the kernel layout on
+        TPU (k_max tightened to the batch's real diagonal need, or
+        PINNED to the bucket's k-bin so each bin compiles one shape);
+        elsewhere it builds the BandedBatch for the XLA scans.
         launch() then puts the kernel in flight on this batch's
         round-robin chip so batches overlap across local devices.
         """
@@ -305,14 +327,19 @@ class MappingEngine:
             ]
             pairs.append((x, c.read_codes, c.guide))
         dev = self._devices[next(self._batch_counter) % len(self._devices)]
+        if key[0] == "k":
+            k_max, exact_k = key[1], True
+        else:
+            k_max, exact_k = key[1] + key[2], False
         if cfg.decode == "viterbi":
             prep = prepared_from_pairs(
                 {"device": dev},
                 pairs,
                 self.params,
                 band_width=cfg.band_width,
-                k_max=n_pad + m_pad,
+                k_max=k_max,
                 prepared_cls=PreparedViterbi,
+                exact_k=exact_k,
             )
         else:
             prep = prepared_from_pairs(
@@ -325,15 +352,16 @@ class MappingEngine:
                 pairs,
                 self.params,
                 band_width=cfg.band_width,
-                k_max=n_pad + m_pad,
+                k_max=k_max,
                 prepared_cls=PreparedRealign,
+                exact_k=exact_k,
             )
         return sub, prep.launch()
 
     def _align_batch(
-        self, sub, n_pad, m_pad, quals
+        self, sub, key, quals
     ) -> list[tuple[_Candidate, SamRecord, float]]:
-        _, prep = self._prepare_batch(sub, n_pad, m_pad)
+        _, prep = self._prepare_batch(sub, key)
         return self._consume_batch(sub, prep, quals)
 
     def _consume_batch(
@@ -443,7 +471,7 @@ class MappingEngine:
             overlap").
             """
             bs = preferred_realign_batch_size(cfg.batch_size)
-            buckets: dict[tuple[int, int], list[_Candidate]] = {}
+            buckets: dict[tuple, list[_Candidate]] = {}
             for ridx, (header, seq, qvals) in enumerate(
                 fastq_read(fastq_path)
             ):
@@ -458,7 +486,7 @@ class MappingEngine:
                 for c in self._candidates_for_read(name, seq):
                     n = c.window_end - c.window_start
                     m = len(c.read_codes)
-                    key = (_next_pow2(n), _next_pow2(m))
+                    key = self._bucket_key(n, m)
                     group = buckets.setdefault(key, [])
                     group.append(c)
                     if len(group) >= bs:
@@ -470,7 +498,7 @@ class MappingEngine:
 
         results: list[tuple[_Candidate, SamRecord, float]] = []
         for sub, batch in prefetched_map(
-            lambda d: self._prepare_batch(d[0], *d[1]),
+            lambda d: self._prepare_batch(d[0], d[1]),
             batch_descriptors(),
             depth=max(2, len(self._devices) + 1),
         ):

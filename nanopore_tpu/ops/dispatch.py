@@ -204,15 +204,19 @@ def prepared_from_pairs(
     band_width: int = 64,
     k_max: int | None = None,
     prepared_cls=None,
+    exact_k: bool = False,
 ):
     """Build a Prepared* object straight from (ref, read, guide) pairs.
 
     On the Pallas path the fused direct pack writes the kernel layout
     in one pass (no BandedBatch); elsewhere a device-resident
     BandedBatch feeds the XLA scans.  ``cls_kwargs`` are forwarded to
-    the Prepared* constructor.
+    the Prepared* constructor.  ``exact_k=True`` pins the diagonal
+    count to the caller's ``k_max`` verbatim (k-bin bucketing: one
+    compiled shape per bin) instead of tightening it per batch.
     """
-    k_max = _pairs_k_max(pairs, k_max)
+    if not exact_k:
+        k_max = _pairs_k_max(pairs, k_max)
     use_pallas = (
         kernel_choice() == "pallas" and band_width in _PALLAS_BAND_WIDTHS
     )

@@ -34,10 +34,39 @@ jax.config.update("jax_compilation_cache_dir", cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+MIXED_BINS = (4096, 10240, 24576, 49152)  # k bins: <=4 compiled shapes
+
+
+def write_reads(path, rng, ref_codes, lengths):
+    """Synthetic noisy reads (5% del, 10% sub) of the given lengths."""
+    from nanopore_tpu.io.encoding import decode
+
+    ref_len = len(ref_codes)
+    with open(path, "w") as fh:
+        for r, L in enumerate(lengths):
+            L = int(L)
+            start = int(rng.integers(0, ref_len - L))
+            x = ref_codes[start:start + L]
+            keep = rng.random(L) > 0.05
+            y = x[keep]
+            sub = rng.random(len(y)) < 0.1
+            y = np.where(sub, rng.integers(0, 4, len(y)), y).astype(np.int8)
+            seq = decode(y)
+            fh.write("@read_%d\n%s\n+\n%s\n" % (r, seq, "I" * len(seq)))
+
+
+def mixed_lengths(rng, n_reads):
+    """Log-normal nanopore-ish length mix, clipped to [500, 20000]."""
+    ln = rng.lognormal(mean=np.log(4000.0), sigma=0.7, size=n_reads)
+    return np.clip(ln, 500, 20000).astype(np.int64)
+
+
 def main():
     n_reads = int(os.environ.get("E2E_READS", "2000"))
     L = int(os.environ.get("E2E_L", "5000"))
     ref_len = int(os.environ.get("E2E_REFLEN", "1000000"))
+    run_mixed = os.environ.get("E2E_MIXED", "1") == "1"
+    n_mixed = int(os.environ.get("E2E_MIXED_READS", "1000"))
     rng = np.random.default_rng(0)
 
     from nanopore_tpu.io.encoding import decode
@@ -48,16 +77,7 @@ def main():
     print("devices:", jax.devices(), flush=True)
 
     fastq = "/tmp/e2e_reads.fq"
-    with open(fastq, "w") as fh:
-        for r in range(n_reads):
-            start = int(rng.integers(0, ref_len - L))
-            x = ref_codes[start:start + L]
-            keep = rng.random(L) > 0.05
-            y = x[keep]
-            sub = rng.random(len(y)) < 0.1
-            y = np.where(sub, rng.integers(0, 4, len(y)), y).astype(np.int8)
-            seq = decode(y)
-            fh.write("@read_%d\n%s\n+\n%s\n" % (r, seq, "I" * len(seq)))
+    write_reads(fastq, rng, ref_codes, [L] * n_reads)
 
     t0 = time.time()
     eng = MappingEngine({"ref": ref}, MapperConfig())
@@ -89,6 +109,66 @@ def main():
         **results["warm"],
         "cold": results["cold"],
     }
+
+    if run_mixed:
+        # realistic length mix under the k-bin bucket policy: every
+        # batch compiles one of MIXED_BINS' shapes (VERDICT r3 #6)
+        mrng = np.random.default_rng(7)
+        lens = mixed_lengths(mrng, n_mixed)
+        mfastq = "/tmp/e2e_mixed.fq"
+        write_reads(mfastq, mrng, ref_codes, lens)
+        meng = MappingEngine(
+            {"ref": ref}, MapperConfig(k_bins=MIXED_BINS)
+        )
+        seen = set()
+        orig = meng._prepare_batch
+        waste_num = [0]
+        waste_den = [0]
+
+        def spy(sub, key):
+            seen.add(key)
+            if key[0] == "k":
+                for c in sub:
+                    need = (
+                        (c.window_end - c.window_start)
+                        + len(c.read_codes)
+                    )
+                    waste_num[0] += key[1] - need
+                    waste_den[0] += key[1]
+            return orig(sub, key)
+
+        meng._prepare_batch = spy
+        mres = {}
+        for label in ("cold", "warm"):
+            t0 = time.time()
+            n = meng.map_fastq(mfastq, "/tmp/e2e_mixed_%s.sam" % label)
+            elapsed = time.time() - t0
+            mres[label] = {
+                "records": n,
+                "seconds": round(elapsed, 1),
+                "reads_per_sec": round(n_mixed / elapsed, 2),
+            }
+            print(
+                "mixed %s: %d records / %d reads in %.1fs = %.1f reads/s"
+                % (label, n, n_mixed, elapsed, n_mixed / elapsed),
+                flush=True,
+            )
+        out["mixed"] = {
+            "reads": n_mixed,
+            "length_min": int(lens.min()),
+            "length_max": int(lens.max()),
+            "length_mean": int(lens.mean()),
+            "k_bins": list(MIXED_BINS),
+            "compile_shapes": sorted(
+                k[1] if k[0] == "k" else -1 for k in seen
+            ),
+            "padding_waste_frac": round(
+                waste_num[0] / max(waste_den[0], 1), 3
+            ),
+            **mres["warm"],
+            "cold": mres["cold"],
+        }
+
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "E2E_HW.json",

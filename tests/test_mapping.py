@@ -168,10 +168,42 @@ class TestMappingEngine:
         assert recs[0].qname == "read1"
         assert len(recs[0].qual) == len(recs[0].seq)
 
+    def test_k_bins_bucketing_maps_mixed_lengths(self, setup, tmp_path):
+        """k_bins pins one compiled shape per bin: mixed-length reads
+        must still map correctly and land in at most len(k_bins)
+        distinct buckets (compile-shape bound for nanopore mixes)."""
+        rng, ref_dict = setup
+        cfg = MapperConfig(batch_size=2, k_bins=(1024, 2048, 8192))
+        engine = MappingEngine(ref_dict, cfg)
+        seen_keys = set()
+        orig = engine._prepare_batch
+
+        def spy(sub, key):
+            seen_keys.add(key)
+            return orig(sub, key)
+
+        engine._prepare_batch = spy
+        fq = tmp_path / "mixed.fq"
+        with open(fq, "w") as fh:
+            for i, ln in enumerate((150, 400, 900, 1400)):
+                start = rng.integers(0, 3000 - ln)
+                read = noisy_copy(
+                    rng, ref_dict["ref1"][start : start + ln]
+                )
+                fh.write(
+                    "@m%d\n%s\n+\n%s\n"
+                    % (i, read, "I" * len(read))
+                )
+        n = engine.map_fastq(str(fq), str(tmp_path / "mixed.sam"))
+        assert n >= 4
+        assert all(k[0] == "k" for k in seen_keys)
+        assert len(seen_keys) <= 3
+
 
 def alignment_weak(r):
     n_match = sum(l for op, l in r.cigar if op == CIG.M)
     return n_match < 50
+
 
 
 class TestChainSam:
