@@ -155,6 +155,25 @@ def main() -> int:
                 cells / d_elapsed / float(BASELINE_DECODE), 3
             )
 
+    # W=32: the realign-parity band (the reference's own production
+    # band is 21 cells, --diagonalExpansion=10, utils.py:587; the
+    # realign/EM presets default to 32) — half the cells per read of
+    # W=64 at the same reads/s scaling
+    if kernel_choice() == "pallas" and os.environ.get(
+        "NANOPORE_TPU_BENCH_W32", "1"
+    ) == "1":
+        batch32 = prepare_banded_batch(
+            [noisy_pair(L) for _ in range(B)], band_width=32, k_max=2 * L
+        )
+        prep32 = PreparedRealign(batch32, params, emit_em=False)
+        e32 = timed(prep32)
+        cells32 = int(np.asarray(batch32.k_end).sum()) * 32
+        detail["w32"] = {
+            "decode_cells_per_sec": round(cells32 / e32, 1),
+            "decode_reads_per_sec": round(B / e32, 2),
+            "band_width": 32,
+        }
+
     # end-to-end mapping throughput and the single-pass Viterbi decode,
     # measured separately on this chip (scripts_dev/e2e_throughput.py
     # -> E2E_HW.json: FASTQ -> SAM through seeding, chaining,
@@ -166,6 +185,19 @@ def main() -> int:
         if os.path.exists(path):
             with open(path) as fh:
                 detail[key] = json.load(fh)
+    # e2e vs the single-node CPU pipeline (the reference's deployment
+    # unit, Makefile:1-3) — scripts_dev/e2e_cpu_baseline.py measures it
+    cpu_e2e = (
+        measured.get("e2e_cpu_pipeline") if baseline_src == "measured"
+        else None
+    )
+    if cpu_e2e and "e2e" in detail:
+        detail["e2e"]["cpu_pipeline_reads_per_sec"] = cpu_e2e[
+            "reads_per_sec"
+        ]
+        detail["e2e"]["vs_cpu_pipeline"] = round(
+            detail["e2e"]["reads_per_sec"] / cpu_e2e["reads_per_sec"], 2
+        )
 
     result = {
         "metric": "pairhmm_realign_band_cells_per_sec",
