@@ -460,18 +460,8 @@ class MappingEngine:
         cfg = self.config
         quals: dict[str, str] = {}
 
-        def batch_descriptors():
-            """FASTQ parse -> seed/chain, streamed on the feeder thread.
-
-            Buckets flush as they fill instead of buffering every
-            candidate for the file; the expensive pack + upload + async
-            kernel launch (_prepare_batch) runs on the prefetched_map
-            WORKER POOL so several batches pack/upload concurrently
-            while earlier ones compute (SURVEY section 7 "Host I/O
-            overlap").
-            """
-            bs = preferred_realign_batch_size(cfg.batch_size)
-            buckets: dict[tuple, list[_Candidate]] = {}
+        def reads_stream():
+            """FASTQ parse + qual capture (cheap, feeder thread)."""
             for ridx, (header, seq, qvals) in enumerate(
                 fastq_read(fastq_path)
             ):
@@ -483,7 +473,28 @@ class MappingEngine:
                     if qvals is not None
                     else "*"
                 )
-                for c in self._candidates_for_read(name, seq):
+                yield name, seq
+
+        def batch_descriptors():
+            """Seed/chain on a WORKER POOL, bucketed into batches.
+
+            Seed + chain is the pipeline's serial host stage once the
+            pack is streamed (~0.6 s per 128 reads single-threaded on
+            the dev box); the native seedchain calls release the GIL
+            (ctypes), so a small pool scales it across cores.  Buckets
+            flush as they fill; the pack + upload + async kernel launch
+            (_prepare_batch) runs on a SECOND prefetched_map pool so
+            several batches pack/upload concurrently while earlier
+            ones compute (SURVEY section 7 "Host I/O overlap").
+            """
+            bs = preferred_realign_batch_size(cfg.batch_size)
+            buckets: dict[tuple, list[_Candidate]] = {}
+            for cands in prefetched_map(
+                lambda it: self._candidates_for_read(*it),
+                reads_stream(),
+                depth=4 * bs,
+            ):
+                for c in cands:
                     n = c.window_end - c.window_start
                     m = len(c.read_codes)
                     key = self._bucket_key(n, m)

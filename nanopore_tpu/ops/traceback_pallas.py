@@ -440,6 +440,33 @@ def _vit_tb_call(mns, bp_rows, d1p, k1_pad, NB, W, interpret=False):
     return ops.astype(jnp.int8)
 
 
+@jax.jit
+def _pack_ops2(ops):
+    """(NB, R, 8, BT) int8 op codes (0..3) -> (NB, R, 2, BT) with 4
+    diagonals packed per byte: the walker ops matrix is the decode
+    path's host pull (10 MB/batch at B=128), and op codes are 2 bits —
+    pack on device, unpack with vectorised numpy on the host."""
+    o = ops.astype(jnp.int32)
+    rows = []
+    for j in range(2):
+        b = o[:, :, 4 * j, :]
+        for t in range(1, 4):
+            b = b | (o[:, :, 4 * j + t, :] << (2 * t))
+        rows.append(b)
+    return jnp.stack(rows, axis=2).astype(jnp.int8)
+
+
+def _unpack_ops2(packed, NB: int, k1_pad: int) -> np.ndarray:
+    """(NB, R, 2, BT) packed bytes -> (NB*BT, k1_pad) op codes."""
+    pk = np.asarray(packed).view(np.uint8)
+    R = pk.shape[1]
+    lanes = pk.transpose(0, 3, 1, 2).reshape(NB * BT, R * 2)
+    out = np.empty((NB * BT, R * 2, 4), np.uint8)
+    for t in range(4):
+        out[:, :, t] = (lanes >> (2 * t)) & 3
+    return out.reshape(NB * BT, k1_pad).view(np.int8)
+
+
 def _d1_packed_lanes(offsets, NB: int, B: int, k1_pad: int, K1: int):
     """Lane-ordered 1-bit/diagonal band-delta stream + padded offsets.
 
@@ -492,15 +519,16 @@ def viterbi_traceback_ops_pallas(
         pad = jnp_.zeros((NB, (k1_pad - K1) * 2, W, BT), jnp_.int8)
         bp_rows = jnp_.concatenate([bp_rows, pad], axis=1)
 
-    ops = np.asarray(
-        _vit_tb_call(
-            jnp.asarray(mns), bp_rows, jnp.asarray(d1p_l),
-            k1_pad, NB, W, interpret,
-        )
+    ops = _unpack_ops2(
+        _pack_ops2(
+            _vit_tb_call(
+                jnp.asarray(mns), bp_rows, jnp.asarray(d1p_l),
+                k1_pad, NB, W, interpret,
+            )
+        ),
+        NB, k1_pad,
     )
-    return (
-        ops.transpose(0, 3, 1, 2).reshape(NB * BT, k1_pad)[:B, :K1]
-    )
+    return ops[:B, :K1]
 
 
 def viterbi_cigars_pallas(
@@ -555,13 +583,14 @@ def mea_traceback_ops_pallas(
         )  # DIR_NONE
         dr = jnp_.concatenate([jnp_.asarray(dirs_raw), pad], axis=1)
 
-    ops = np.asarray(
-        _mea_tb_call(
-            jnp.asarray(mn), jnp.asarray(dr), jnp.asarray(d1p_l),
-            k1_pad, NB, W, interpret,
-        )
+    ops = _unpack_ops2(
+        _pack_ops2(
+            _mea_tb_call(
+                jnp.asarray(mn), jnp.asarray(dr), jnp.asarray(d1p_l),
+                k1_pad, NB, W, interpret,
+            )
+        ),
+        NB, k1_pad,
     )
     # (NB, k1_pad//8, 8, BT) -> (B, K1)
-    return (
-        ops.transpose(0, 3, 1, 2).reshape(NB * BT, k1_pad)[:B, :K1]
-    )
+    return ops[:B, :K1]
