@@ -321,6 +321,11 @@ def posterior_expectations_raw(
     return out
 
 
+@jax.jit
+def _ret_f16(a):
+    return a.astype(jnp.float16)
+
+
 def posterior_expectations_fused(
     ret_raw, flush_raw, offsets: np.ndarray, ns: np.ndarray,
     band_width: int,
@@ -345,7 +350,7 @@ def posterior_expectations_fused(
         # of <= W thresholded gammas, so f16's ~1e-3 relative error is
         # far below the SNP caller's decision margins; the pull is the
         # dominant cost of the fused route on bandwidth-limited links
-        ret_raw = jax.jit(lambda a: a.astype(jnp.float16))(ret_raw)
+        ret_raw = _ret_f16(ret_raw)
     ret = np.asarray(ret_raw).astype(np.float32)  # (NB, K1g, 4, BT)
     fl = np.asarray(flush_raw)  # (NB, 4, W, BT)
     NB, K1g, _, BTl = ret.shape

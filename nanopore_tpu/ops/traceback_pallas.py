@@ -456,36 +456,58 @@ def _pack_ops2(ops):
     return jnp.stack(rows, axis=2).astype(jnp.int8)
 
 
+_OPS_LUT = None
+
+
 def _unpack_ops2(packed, NB: int, k1_pad: int) -> np.ndarray:
-    """(NB, R, 2, BT) packed bytes -> (NB*BT, k1_pad) op codes."""
+    """(NB, R, 2, BT) packed bytes -> (NB*BT, k1_pad) op codes.
+
+    One 256-entry uint32 LUT gather (byte -> its 4 op codes,
+    little-endian) instead of four shift/mask passes over the 4x
+    output array."""
+    global _OPS_LUT
+    if _OPS_LUT is None:
+        b = np.arange(256, dtype=np.uint32)
+        _OPS_LUT = (
+            (b & 3)
+            | (((b >> 2) & 3) << 8)
+            | (((b >> 4) & 3) << 16)
+            | (((b >> 6) & 3) << 24)
+        ).astype(np.uint32)
     pk = np.asarray(packed).view(np.uint8)
     R = pk.shape[1]
-    lanes = pk.transpose(0, 3, 1, 2).reshape(NB * BT, R * 2)
-    out = np.empty((NB * BT, R * 2, 4), np.uint8)
-    for t in range(4):
-        out[:, :, t] = (lanes >> (2 * t)) & 3
-    return out.reshape(NB * BT, k1_pad).view(np.int8)
+    lanes = np.ascontiguousarray(
+        pk.transpose(0, 3, 1, 2)
+    ).reshape(NB * BT, R * 2)
+    out = np.ascontiguousarray(_OPS_LUT[lanes])
+    return out.view(np.uint8).reshape(NB * BT, k1_pad).view(np.int8)
 
 
 def _d1_packed_lanes(offsets, NB: int, B: int, k1_pad: int, K1: int):
-    """Lane-ordered 1-bit/diagonal band-delta stream + padded offsets.
+    """Lane-ordered 1-bit/diagonal band-delta stream + top offsets.
 
-    Returns (d1p_l (NB, k1_pad // 64, 8, BT) int8, offs (NB*BT, k1_pad)
-    int32) — the packed layout both walkers consume (o[0] = 0 by band
-    construction; pad rows repeat the final offset, so their deltas are
-    zero).
+    Returns (d1p_l (NB, k1_pad // 64, 8, BT) int8, o_last (NB*BT,)
+    int32 = o[k1_pad - 1] per lane) — the packed layout both walkers
+    consume (o[0] = 0 by band construction; pad lanes/rows have zero
+    deltas).  All heavy work runs on the B REAL lanes only: building
+    these over NB*BT pad lanes cost ~0.23 s/batch at B=1024 (a 340 MB
+    offsets alloc), several times the walker kernel itself.
     """
-    offs = np.zeros((NB * BT, k1_pad), np.int32)
+    offsets = np.asarray(offsets)
     ko = min(offsets.shape[1], K1)
-    offs[:B, :ko] = offsets[:, :ko]
-    offs[:B, ko:] = offsets[:, -1:]
-    d1 = np.zeros((NB * BT, k1_pad), np.uint8)
-    d1[:, 1:] = (offs[:, 1:] - offs[:, :-1]).astype(np.uint8)
-    d1p = np.packbits(d1, axis=1, bitorder="little")
+    d1 = np.zeros((B, k1_pad), np.uint8)
+    d1[:, 1:ko] = (
+        offsets[:, 1:ko] - offsets[:, : ko - 1]
+    ).astype(np.uint8)
+    d1p = np.packbits(d1, axis=1, bitorder="little")  # (B, k1_pad/8)
+    full = np.zeros((NB * BT, k1_pad // 8), np.uint8)
+    full[:B] = d1p
     d1p_l = np.ascontiguousarray(
-        d1p.reshape(NB, BT, k1_pad // 64, 8).transpose(0, 2, 3, 1)
+        full.reshape(NB, BT, k1_pad // 64, 8).transpose(0, 2, 3, 1)
     ).view(np.int8)
-    return d1p_l, offs
+    o_last = np.zeros(NB * BT, np.int32)
+    o_last[:B] = offsets[:, ko - 1]  # constant past the real diagonals
+    return d1p_l, o_last
 
 
 def viterbi_traceback_ops_pallas(
@@ -505,12 +527,12 @@ def viterbi_traceback_ops_pallas(
     # band offsets ride as 1 bit/diagonal (o integrated DESCENDING from
     # the top offset in mns row 3) — the 4-byte/diagonal offsets upload
     # was ~1.6 s/batch at B=1024 on the remote link, dwarfing the walk
-    d1p_l, offs = _d1_packed_lanes(offsets, NB, B, k1_pad, K1)
+    d1p_l, o_last = _d1_packed_lanes(offsets, NB, B, k1_pad, K1)
     mns = np.zeros((NB, 4, BT), np.int32)
     mns[:, 0].reshape(-1)[:B] = m
     mns[:, 1].reshape(-1)[:B] = n
     mns[:, 2].reshape(-1)[:B] = fstate
-    mns[:, 3] = offs[:, k1_pad - 1].reshape(NB, BT)
+    mns[:, 3] = o_last.reshape(NB, BT)
 
     import jax.numpy as jnp_
 

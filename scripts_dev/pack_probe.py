@@ -76,7 +76,7 @@ def main():
     )
     t0 = time.time()
     prep = materialize_xyc(prep)
-    float(np.asarray(prep["xyc"][0, 0, 0, :1]))  # force completion
+    float(np.asarray(prep["xyc"][0, 0, 0, 0]))  # force completion
     t_kernel_cold = time.time() - t0
     print(
         "host pack %.2fs | stream pack %.2fs (%.2f MB up) | "
@@ -119,7 +119,7 @@ def main():
     t0 = time.time()
     p2 = pack_stream_pairs(pairs, params, W, k_max=2 * L)
     p2 = materialize_xyc(p2)
-    float(np.asarray(p2["xyc"][0, 0, 0, :1]))
+    float(np.asarray(p2["xyc"][0, 0, 0, 0]))
     t_warm = time.time() - t0
     print("stream pack + upload + packer warm: %.2fs" % t_warm, flush=True)
 

