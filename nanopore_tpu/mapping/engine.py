@@ -57,9 +57,12 @@ class MapperConfig:
     # extension decode: "mea" = posterior MEA (marginAlign-calibrated,
     # the fused realign kernel), "viterbi" = single-pass max-product —
     # the analogue of the reference aligners' own extension DP
-    # (bwa/lastal/lastz/blasr), on TPU served by the forward-only
-    # Pallas Viterbi kernel at ~3x the MEA kernel's cells/s.  MEA
-    # stays the default for marginAlign calibration parity.
+    # (bwa/lastal/lastz/blasr).  The Viterbi FORWARD (scoring) pass is
+    # ~1.5x the fused kernel's cells/s, but its full decode (kernel +
+    # backpointer walk) measures SLOWER than the MEA decode path
+    # (VITERBI_HW.json: viterbi_vs_mea < 1) — use it for reference
+    # max-product semantics or score-only filtering, not speed.  MEA
+    # is the default and the fastest full decode.
     decode: str = "mea"
     # mixed-length batching policy: when set, candidates bucket by the
     # smallest bin >= n + m (their diagonal need) and each bucket

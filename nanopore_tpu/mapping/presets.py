@@ -97,10 +97,12 @@ def _build_registry() -> dict[str, MapperSpec]:
                 post="realign_trained",
                 trained_model="blasr_hmm_%d.txt" % pct,
             )
-    # Viterbi fast-path family (no reference analogue by name: the
-    # single-pass max-product extension standing in for the reference
-    # aligners' own non-probabilistic extension DP; ~3x less device work
-    # than the MEA path)
+    # Viterbi family (no reference analogue by name): the single-pass
+    # max-product extension standing in for the reference aligners' own
+    # non-probabilistic extension DP.  Semantics parity, not a speed
+    # claim: its full decode measures slower than the MEA decode path
+    # (VITERBI_HW.json), though the forward/scoring pass is ~1.5x
+    # faster.
     from dataclasses import replace as _replace
 
     viterbi_cfg = _replace(_BASE_CONFIGS["LastParams"], decode="viterbi")

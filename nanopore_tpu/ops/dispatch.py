@@ -610,8 +610,10 @@ class PreparedViterbi:
 
     ``decode: "viterbi"`` extension path of the mapping engine: on TPU
     the single-pass Pallas Viterbi kernel
-    (ops.pairhmm_pallas_viterbi — roughly 3x the fused realign
-    kernel's cells/s, no backward/EM work), elsewhere the XLA
+    (ops.pairhmm_pallas_viterbi — the forward pass runs ~1.5x the
+    fused realign kernel's cells/s; the FULL decode, with the
+    backpointer walk, measures slower than the MEA path —
+    VITERBI_HW.json), elsewhere the XLA
     anti-diagonal scan.  launch() on the prefetch thread puts the
     kernel in flight; decode() walks the backpointers ON DEVICE and
     returns (scores, cigars).

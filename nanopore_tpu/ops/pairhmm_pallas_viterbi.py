@@ -1,6 +1,7 @@
 """Pallas banded Viterbi kernel: single-pass max-product decode.
 
-The forward-only fast path for the mapping engine's extension stage
+The forward-only max-product path for the mapping engine's extension
+stage
 (``MapperConfig.decode = "viterbi"``): max-product twin of the fused
 realign kernel's phase A, in LOG space (no per-diagonal rescaling —
 magnitudes stay within f32), emitting packed per-state backpointers per
@@ -8,7 +9,9 @@ diagonal.  One pass over the lattice instead of realign's three
 (forward + remat + backward), no EM accumulators, no MEA — the
 semantics of the reference's non-probabilistic aligner extension DP
 (bwa/lastal/lastz/blasr sparse DP, reference ``nanopore/mappers/*.py``)
-at roughly 3x the fused kernel's cells/s.
+— the forward pass at ~1.5x the fused kernel's cells/s (the FULL
+decode including the backpointer walk measures slower than the MEA
+decode path; VITERBI_HW.json).
 
 Shares the host pack with the realign kernel
 (ops.pairhmm_pallas_realign.prepare_pallas_realign): the packed
