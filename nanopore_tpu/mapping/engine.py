@@ -20,7 +20,7 @@ from dataclasses import dataclass
 from nanopore_tpu.align.model import PairHmmModel
 from nanopore_tpu.io.encoding import encode, revcomp_codes
 from nanopore_tpu.io.sam import SamRecord, SamWriter, CIG
-from nanopore_tpu.io.seqio import fastq_read
+from nanopore_tpu.io.seqio import fastq_read_raw
 from nanopore_tpu.mapping.index import KmerIndex
 from nanopore_tpu.mapping.chain import merge_hits_to_anchors, chain_anchors, Chain
 from nanopore_tpu.ops.pairhmm import make_kernel_params
@@ -52,6 +52,10 @@ class MapperConfig:
     gap_gamma: float = 0.5
     match_gamma: float = 0.0
     batch_size: int | None = None  # None: ops.dispatch picks per kernel
+    # sparse seeding: probe every seed_stride-th read k-mer (1 = every
+    # k-mer).  Long noisy reads keep ample anchors at stride 2-4; the
+    # k-mer index probe is the mapper's dominant host cost per read.
+    seed_stride: int = 1
     max_ref_gap: int = 5000
     max_diag_drift: int = 500
     # extension decode: "mea" = posterior MEA (marginAlign-calibrated,
@@ -127,7 +131,9 @@ class MappingEngine:
         m = len(codes_fwd)
         all_chains: list[tuple[Chain, int]] = []
         for strand, codes in ((0, codes_fwd), (1, codes_rev)):
-            ref_pos, read_pos = self.index.lookup(codes)
+            ref_pos, read_pos = self.index.lookup(
+                codes, stride=cfg.seed_stride
+            )
             anchors = merge_hits_to_anchors(ref_pos, read_pos, self.index.k)
             chains = chain_anchors(
                 anchors,
@@ -464,18 +470,16 @@ class MappingEngine:
         quals: dict[str, str] = {}
 
         def reads_stream():
-            """FASTQ parse + qual capture (cheap, feeder thread)."""
-            for ridx, (header, seq, qvals) in enumerate(
-                fastq_read(fastq_path)
+            """FASTQ parse + qual capture (cheap, feeder thread): the
+            phred STRING passes through untouched — the engine only
+            re-emits it into the SAM record."""
+            for ridx, (header, seq, qual) in enumerate(
+                fastq_read_raw(fastq_path)
             ):
                 if shard is not None and ridx % shard[1] != shard[0]:
                     continue
                 name = header.split()[0]
-                quals[name] = (
-                    "".join(chr(q + 33) for q in qvals)
-                    if qvals is not None
-                    else "*"
-                )
+                quals[name] = qual if qual else "*"
                 yield name, seq
 
         def batch_descriptors():
@@ -510,13 +514,21 @@ class MappingEngine:
                 for i in range(0, len(group), bs):
                     yield group[i : i + bs], key
 
+        def full_batch(d):
+            """Pack + launch + decode + record build, all on the worker
+            pool: with N workers, N batches run their host stages in
+            parallel while their kernels overlap on device — the main
+            thread only collects, so no stage serialises on it."""
+            sub, prep = self._prepare_batch(d[0], d[1])
+            return self._consume_batch(sub, prep, quals)
+
         results: list[tuple[_Candidate, SamRecord, float]] = []
-        for sub, batch in prefetched_map(
-            lambda d: self._prepare_batch(d[0], d[1]),
+        for recs in prefetched_map(
+            full_batch,
             batch_descriptors(),
             depth=max(2, len(self._devices) + 1),
         ):
-            results.extend(self._consume_batch(sub, batch, quals))
+            results.extend(recs)
 
         by_read: dict[str, list] = {}
         for item in results:

@@ -118,16 +118,22 @@ class KmerIndex:
         return self.ref_codes[start : start + self.contig_length(cidx)]
 
     # ------------------------------------------------------------------ #
-    def lookup(self, read_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    def lookup(
+        self, read_codes: np.ndarray, stride: int = 1
+    ) -> tuple[np.ndarray, np.ndarray]:
         """All seed hits of a read: (global ref positions, read positions).
 
-        Fully vectorised: one batched searchsorted over the read's k-mers,
-        then a cumsum-based group expansion (no Python per-kmer loop).
+        ``stride > 1`` probes only every stride-th read k-mer (sparse
+        seeding — the standard long-read mapper trade; the chainer
+        absorbs the anchor-density loss on multi-kb reads).  Fully
+        vectorised fallback: one batched searchsorted over the read's
+        k-mers, then a cumsum-based group expansion.
         """
         from nanopore_tpu.runtime import native_index
 
         native = native_index.lookup(
-            self.sorted_kmers, self.sorted_positions, read_codes, self.k
+            self.sorted_kmers, self.sorted_positions, read_codes, self.k,
+            stride=stride,
         )
         if native is not None:
             return native
@@ -135,6 +141,10 @@ class KmerIndex:
         kmers, valid = kmer_codes(read_codes, self.k)
         qpos_all = np.nonzero(valid)[0].astype(np.int32)
         kmers = kmers[valid]
+        if stride > 1:
+            keep = (qpos_all % stride) == 0
+            qpos_all = qpos_all[keep]
+            kmers = kmers[keep]
         if len(kmers) == 0 or len(self.sorted_kmers) == 0:
             return np.empty(0, np.int32), np.empty(0, np.int32)
         lo = np.searchsorted(self.sorted_kmers, kmers, side="left")

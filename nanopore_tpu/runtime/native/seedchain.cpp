@@ -81,8 +81,12 @@ int64_t seedchain_mask_repeats(
 int64_t seedchain_lookup(
     const int64_t* sorted_kmers, const int32_t* sorted_positions,
     int64_t index_len, const int8_t* read_codes, int64_t read_len,
-    int32_t k, int64_t capacity,
+    int32_t k, int32_t stride, int64_t capacity,
     int32_t* out_ref_pos, int32_t* out_read_pos) {
+  // stride > 1: probe only every stride-th read k-mer (sparse seeding,
+  // the long-read mapper trade: ~1/stride the index probes for a small
+  // anchor-density loss the chainer absorbs on multi-kb reads)
+  if (stride < 1) stride = 1;
   if (read_len < k || index_len == 0) return 0;
   int64_t count = 0;
   int64_t kmer = 0;
@@ -99,6 +103,7 @@ int64_t seedchain_lookup(
     ++valid_run;
     if (valid_run < k) continue;
     int32_t qpos = int32_t(i - k + 1);
+    if (stride > 1 && (qpos % stride) != 0) continue;
     const int64_t* lo = std::lower_bound(
         sorted_kmers, sorted_kmers + index_len, kmer);
     const int64_t* hi = std::upper_bound(

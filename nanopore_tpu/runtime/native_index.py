@@ -78,7 +78,7 @@ def get_lib():
         lib.seedchain_lookup.restype = ctypes.c_int64
         lib.seedchain_lookup.argtypes = [
             i64p, i32p, ctypes.c_int64, i8p, ctypes.c_int64,
-            ctypes.c_int32, ctypes.c_int64, i32p, i32p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, i32p, i32p,
         ]
         lib.seedchain_merge_anchors.restype = ctypes.c_int64
         lib.seedchain_merge_anchors.argtypes = [
@@ -121,7 +121,7 @@ def mask_repeats(kmers: np.ndarray, positions: np.ndarray, max_occ: int):
 
 
 def lookup(sorted_kmers, sorted_positions, read_codes, k,
-           capacity: int | None = None):
+           capacity: int | None = None, stride: int = 1):
     lib = get_lib()
     if lib is None:
         return None
@@ -134,7 +134,7 @@ def lookup(sorted_kmers, sorted_positions, read_codes, k,
     read_pos = np.empty(capacity, np.int32)
     n = lib.seedchain_lookup(
         sorted_kmers, sorted_positions, len(sorted_kmers), read_codes,
-        len(read_codes), k, capacity, ref_pos, read_pos,
+        len(read_codes), k, stride, capacity, ref_pos, read_pos,
     )
     return ref_pos[:n].copy(), read_pos[:n].copy()
 

@@ -52,7 +52,9 @@ def main():
     fastq = "/tmp/e2e_cpu_reads.fq"
     write_reads(fastq, rng, ref_codes, [L] * n_reads)
 
-    eng = MappingEngine({"ref": ref}, MapperConfig())
+    # same engine config as the TPU e2e run (seed_stride included) so
+    # the vs_cpu_pipeline ratio compares identical host pipelines
+    eng = MappingEngine({"ref": ref}, MapperConfig(seed_stride=3))
     results = {}
     for label in ("cold", "warm"):
         t0 = time.time()
@@ -81,6 +83,7 @@ def main():
         "read_length": L,
         "ref_length": ref_len,
         "kernel": "xla",
+        "seed_stride": 3,
         "cpu_count": os.cpu_count(),
         "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "cold": results["cold"],
