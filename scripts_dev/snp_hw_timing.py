@@ -81,6 +81,10 @@ def main():
         if jax.default_backend() in ("tpu", "axon")
         else ("xla",)
     )
+    # the XLA comparison leg on TPU consumes forward_backward gammas,
+    # which production now refuses (require_gamma_safe_backend); this
+    # is a timing probe, so opt in explicitly
+    os.environ["NANOPORE_TPU_ALLOW_TPU_GAMMA"] = "1"
     for mode in modes:
         os.environ["NANOPORE_TPU_KERNEL"] = mode
         t0 = time.time()
