@@ -94,6 +94,11 @@ def _realign_kernel(
     dirs_hbm,  # (NB*(K_pad+1), W, BT) int8: direction codes, flattened
     bnd_hbm,  # (NB*S*10, W, BT) f32: boundary checkpoints, flattened
     bscal_hbm,  # (NB*S, 8, 1, BT) f32: boundary scalar rows
+    sfv_hbm,  # (NB*S, SEG//2, 1, BT) f32: phase A's per-pair rescale
+    #          INVERSES, one row per rescaled diagonal of the segment —
+    #          phase B's remat pass REUSES them instead of recomputing
+    #          the 5-tile max-reduction (bit-identical states, ~20 VPU
+    #          ops saved per remat diagonal)
     gm_hbm,  # (NB*(K_pad+1), W, BT) f32 gamma_match band (emit_gamma
     #          mode — the --outputAllPosteriorProbs equivalent,
     #          reference marginAlignSnpCaller.py:136-146); (1,1,1)
@@ -113,6 +118,8 @@ def _realign_kernel(
     bufc,  # (2*SEG, W, BT) int8 phase-B cur codes
     bndbuf,  # (2, 10, W, BT) f32 boundary in
     bscalbuf,  # (2, 8, 1, BT) f32 boundary scalars in
+    sfstage,  # (2, SEG//2, 1, BT) f32 phase-A rescale-inverse staging
+    sfvbuf,  # (2, SEG//2, 1, BT) f32 phase-B rescale-inverse in
     f_buf,  # (SEG*5, W, BT) f32 rematerialised forward states
     sfinv_buf,  # (SEG, 1, BT) f32 their rescale inverses (linear)
     e_cache,  # (SEG*5, W, BT) f32 remat emissions [j*5 + (em,gx1,gx3,gy2,gy4)]
@@ -228,7 +235,7 @@ def _realign_kernel(
         return t, (t - hi) - y
 
     def fwd_diag_step(k_new, xy, prev, prevprev, r, ls_cur, acc, fin_reg,
-                      rescale, need_ll=True):
+                      rescale, need_ll=True, inv_in=None):
         """One forward anti-diagonal (identical math to pairhmm_pallas).
 
         ``ls_cur`` is the (hi, c) Kahan pair of the running log-scale
@@ -265,13 +272,18 @@ def _realign_kernel(
         ]
         ls_hi, ls_c = ls_cur
         if rescale:
-            scale = jnp.max(new[0], axis=0, keepdims=True)
-            for s in range(1, NUM_STATES):
-                scale = jnp.maximum(
-                    scale, jnp.max(new[s], axis=0, keepdims=True)
-                )
-            safe = jnp.where(scale > 0, scale, 1.0)
-            inv = 1.0 / safe
+            if inv_in is None:
+                scale = jnp.max(new[0], axis=0, keepdims=True)
+                for s in range(1, NUM_STATES):
+                    scale = jnp.maximum(
+                        scale, jnp.max(new[s], axis=0, keepdims=True)
+                    )
+                safe = jnp.where(scale > 0, scale, 1.0)
+                inv = 1.0 / safe
+            else:
+                # remat pass: phase A's stored inverse — bit-identical
+                # states without the 5-tile max-reduction
+                inv = inv_in
             new = [arr * inv for arr in new]
             if need_ll:
                 ls_hi, ls_c = kahan_add(ls_hi, ls_c, jnp.log(safe))
@@ -346,6 +358,10 @@ def _realign_kernel(
                         stageS.at[sl], bscal_hbm.at[bt * S + s_idx - 2],
                         bnd_sems.at[sl, 1],
                     ).wait()
+                    pltpu.make_async_copy(
+                        sfstage.at[sl], sfv_hbm.at[bt * S + s_idx - 2],
+                        bnd_sems.at[sl, 2],
+                    ).wait()
 
                 @pl.when(sl == 0)
                 def _stage0():
@@ -371,6 +387,16 @@ def _realign_kernel(
                     bnd_sems.at[sl, 1],
                 ).start()
 
+                # the PREVIOUS segment's rescale inverses are complete
+                # now (its last pair just ran): flush them
+                @pl.when(s_idx >= 1)
+                def _sfflush():
+                    pltpu.make_async_copy(
+                        sfstage.at[1 - sl],
+                        sfv_hbm.at[bt * S + s_idx - 1],
+                        bnd_sems.at[1 - sl, 2],
+                    ).start()
+
             t = base + ip * 2
             k0 = p * 2
             a = [sA[st] for st in range(NUM_STATES)]
@@ -391,6 +417,13 @@ def _realign_kernel(
             scal[1] = inv
             scal[2] = acc
             scal[3] = fin_reg
+            # stage this pair's rescale inverse for the remat reuse
+            # (f32 traced-index stores are the validated-safe kind; the
+            # int8 miscompile does not apply)
+            sfstage[
+                lax.rem(lax.div(p, pairs_per_seg), 2),
+                lax.rem(p, pairs_per_seg),
+            ] = inv
             return 0
 
         lax.fori_loop(0, pairs_per_chunk, pair_body, 0)
@@ -398,6 +431,12 @@ def _realign_kernel(
 
     lax.fori_loop(0, n_chunks, chunk_body, 0)
 
+    # flush the FINAL segment's rescale inverses (earlier segments
+    # flushed at the next segment's boundary dump)
+    pltpu.make_async_copy(
+        sfstage.at[(S - 1) % 2], sfv_hbm.at[bt * S + S - 1],
+        bnd_sems.at[(S - 1) % 2, 2],
+    ).start()
     # drain the last two staged boundary dumps (phase B reads bnd_hbm)
     for s_idx in range(max(0, S - 2), S):
         sl = s_idx % 2
@@ -408,6 +447,10 @@ def _realign_kernel(
         pltpu.make_async_copy(
             stageS.at[sl], bscal_hbm.at[bt * S + s_idx],
             bnd_sems.at[sl, 1],
+        ).wait()
+        pltpu.make_async_copy(
+            sfstage.at[sl], sfv_hbm.at[bt * S + s_idx],
+            bnd_sems.at[sl, 2],
         ).wait()
     loglik = scal[2]
     loglik_ref[:, :] = loglik
@@ -458,6 +501,10 @@ def _realign_kernel(
             pltpu.make_async_copy(
                 bscal_hbm.at[bt * S + s], bscalbuf.at[slot],
                 in_sems.at[2, slot],
+            ),
+            pltpu.make_async_copy(
+                sfv_hbm.at[bt * S + s], sfvbuf.at[slot],
+                in_sems.at[3, slot],
             ),
         )
 
@@ -667,6 +714,7 @@ def _realign_kernel(
             new_a, ls_a, rs, _, _, em_a = fwd_diag_step(
                 k0 + 2 * pp + 2, bufc[t + 1], new_b, a, ones_b, ls_b,
                 dummy_acc, ones_b, rescale=True, need_ll=False,
+                inv_in=sfvbuf[slot, pp],
             )
             for st in range(NUM_STATES):
                 f_buf[(2 * pp) * 5 + st] = new_b[st]
@@ -1153,6 +1201,7 @@ def _pallas_realign_call(
             pl.BlockSpec(memory_space=pl.ANY),  # dirs
             pl.BlockSpec(memory_space=pl.ANY),  # bnd
             pl.BlockSpec(memory_space=pl.ANY),  # bscal
+            pl.BlockSpec(memory_space=pl.ANY),  # sfv (rescale inverses)
             pl.BlockSpec(memory_space=pl.ANY),  # gm (dummy when off)
             pl.BlockSpec(memory_space=pl.ANY),  # ret (dummy when off)
             pl.BlockSpec(
@@ -1166,6 +1215,8 @@ def _pallas_realign_call(
             pltpu.VMEM((2 * SEG, W, BT), jnp.int8),  # bufc
             pltpu.VMEM((2, 10, W, BT), jnp.float32),  # bndbuf
             pltpu.VMEM((2, 8, 1, BT), jnp.float32),  # bscalbuf
+            pltpu.VMEM((2, SEG // 2, 1, BT), jnp.float32),  # sfstage
+            pltpu.VMEM((2, SEG // 2, 1, BT), jnp.float32),  # sfvbuf
             pltpu.VMEM((SEG * 5, W, BT), jnp.float32),  # f_buf
             pltpu.VMEM((SEG, 1, BT), jnp.float32),  # sfinv_buf
             pltpu.VMEM((SEG * 5, W, BT), jnp.float32),  # e_cache
@@ -1183,7 +1234,7 @@ def _pallas_realign_call(
             pltpu.VMEM((6, W, BT), jnp.float32),  # mea_buf
             pltpu.VMEM((8, 1, BT), jnp.float32),  # scal
             pltpu.VMEM((2 * SEG, W, BT), jnp.int8),  # dirs_buf
-            pltpu.SemaphoreType.DMA((3, 2)),
+            pltpu.SemaphoreType.DMA((4, 2)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.VMEM(
@@ -1211,6 +1262,9 @@ def _pallas_realign_call(
         jax.ShapeDtypeStruct((NB * S * 10, W, BT), jnp.float32),  # bnd
         jax.ShapeDtypeStruct((NB * S, 8, 1, BT), jnp.float32),  # bscal
         jax.ShapeDtypeStruct(
+            (NB * S, SEG // 2, 1, BT), jnp.float32
+        ),  # sfv
+        jax.ShapeDtypeStruct(
             (NB * (k_pad + 1), W, BT) if emit_gamma else (1, 1, 1),
             jnp.float32,
         ),  # gm
@@ -1230,7 +1284,8 @@ def _pallas_realign_call(
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(tf, emf, egf, ggmg, kend, xyc)
-    loglik, score, trans, e16, edel, eins, dirs, _, _, gm, ret, flush = outs
+    (loglik, score, trans, e16, edel, eins, dirs, _, _, _, gm, ret,
+     flush) = outs
 
     def lanes(x):  # (NB, R, BT) -> (NB*BT, R)
         return jnp.transpose(x, (0, 2, 1)).reshape(x.shape[0] * BT, -1)
