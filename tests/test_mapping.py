@@ -450,3 +450,33 @@ class TestPrefetch:
         it = prefetched_map(slow_sq, range(100), workers=2)
         assert next(it) == 0
         it.close()
+
+
+class TestSeedStride:
+    def test_native_matches_fallback(self):
+        """Strided lookup must agree between the C path and the numpy
+        fallback (forced by nulling the native binding — the env knob
+        is only read before the .so loads)."""
+        from unittest import mock
+
+        from nanopore_tpu.runtime import native_index
+
+        rng = np.random.default_rng(5)
+        ref = make_ref(rng, 4000)
+        read = noisy_copy(rng, ref[700:2200])
+        from nanopore_tpu.io.encoding import encode
+        from nanopore_tpu.mapping.index import KmerIndex
+
+        idx = KmerIndex.build({"r": ref}, k=13, max_occ=64)
+        codes = encode(read)
+        for stride in (1, 2, 3, 5):
+            want = idx.lookup(codes, stride=stride)
+            assert len(want[0]) > 0
+            with mock.patch.object(
+                native_index, "lookup", lambda *a, **k: None
+            ):
+                got = idx.lookup(codes, stride=stride)
+            np.testing.assert_array_equal(got[0], want[0])
+            np.testing.assert_array_equal(got[1], want[1])
+            if stride > 1:
+                assert (want[1] % stride == 0).all()
