@@ -300,9 +300,16 @@ def pack_stream_pairs(
     initx_l = np.ascontiguousarray(
         initx.reshape(NB, BT, W).transpose(0, 2, 1)
     ).view(np.int8)
+    # per-lane scalars: NEVER via arr[:, i].reshape(-1)[:B] = v — that
+    # reshape COPIES for NB > 1 and the assignment is lost (the round-4
+    # NB=2 packer bug, caught by tests/test_pack_pallas TestMultiTile)
     mn = np.zeros((NB, 2, BT), np.int32)
-    mn[:, 0].reshape(-1)[:B] = ms
-    mn[:, 1].reshape(-1)[:B] = ns
+    flat_m = np.zeros(B_pad, np.int32)
+    flat_m[:B] = ms
+    flat_n = np.zeros(B_pad, np.int32)
+    flat_n[:B] = ns
+    mn[:, 0] = flat_m.reshape(NB, BT)
+    mn[:, 1] = flat_n.reshape(NB, BT)
 
     tf, emf, egf = _param_scalars(params)
     kend = np.full(B_pad, -1, np.int32)

@@ -483,6 +483,18 @@ def _unpack_ops2(packed, NB: int, k1_pad: int) -> np.ndarray:
     return out.view(np.uint8).reshape(NB * BT, k1_pad).view(np.int8)
 
 
+def _lane_rows(values, NB: int, B: int, dtype=np.int32) -> np.ndarray:
+    """(B,) per-read values -> (NB, BT) lane-ordered rows (pad zero).
+
+    NEVER assign through ``arr[:, i].reshape(-1)[:B] = v``: for NB > 1
+    that slice is non-contiguous, reshape returns a COPY, and the
+    assignment is silently lost (it only works at NB == 1).
+    """
+    flat = np.zeros(NB * BT, dtype)
+    flat[:B] = values
+    return flat.reshape(NB, BT)
+
+
 def _d1_packed_lanes(offsets, NB: int, B: int, k1_pad: int, K1: int):
     """Lane-ordered 1-bit/diagonal band-delta stream + top offsets.
 
@@ -529,9 +541,9 @@ def viterbi_traceback_ops_pallas(
     # was ~1.6 s/batch at B=1024 on the remote link, dwarfing the walk
     d1p_l, o_last = _d1_packed_lanes(offsets, NB, B, k1_pad, K1)
     mns = np.zeros((NB, 4, BT), np.int32)
-    mns[:, 0].reshape(-1)[:B] = m
-    mns[:, 1].reshape(-1)[:B] = n
-    mns[:, 2].reshape(-1)[:B] = fstate
+    mns[:, 0] = _lane_rows(m, NB, B)
+    mns[:, 1] = _lane_rows(n, NB, B)
+    mns[:, 2] = _lane_rows(fstate, NB, B)
     mns[:, 3] = o_last.reshape(NB, BT)
 
     import jax.numpy as jnp_
@@ -593,8 +605,8 @@ def mea_traceback_ops_pallas(
     # (o[0] is 0 by band construction; the kernel integrates)
     d1p_l, _ = _d1_packed_lanes(offsets, NB, B, k1_pad, K1)
     mn = np.zeros((NB, 2, BT), np.int32)
-    mn[:, 0].reshape(-1)[:B] = m
-    mn[:, 1].reshape(-1)[:B] = n
+    mn[:, 0] = _lane_rows(m, NB, B)
+    mn[:, 1] = _lane_rows(n, NB, B)
 
     dr = dirs_raw
     if k1_pad != K1:

@@ -94,3 +94,34 @@ class TestStreamPackIdentity:
             prep["stream"].nbytes + prep["initx"].nbytes + prep["mn"].nbytes
         )
         assert streamed * 30 < packed
+
+
+class TestMultiTile:
+    def test_nb2_byte_identity(self, params, monkeypatch):
+        """Batches crossing the 128-lane tile boundary (NB=2): lane
+        placement b -> (tile b//128, lane b%128) must match the host
+        pack on both tiles."""
+        import nanopore_tpu.ops.pack_pallas as pkp
+
+        monkeypatch.setattr(pkp, "CHUNK", 8)
+        monkeypatch.setattr(pkp, "SEG", 8)
+        import nanopore_tpu.ops.pairhmm_pallas_realign as ppr
+
+        old_chunk = ppr.CHUNK
+        monkeypatch.setattr(ppr, "CHUNK", 8)
+        rng = np.random.default_rng(17)
+        pairs = []
+        for b in range(130):  # 2 lane tiles, second nearly empty
+            n = int(rng.integers(6, 14))
+            cig = [(CIG.M, n)]
+            x = rng.integers(0, 4, n).astype(np.int8)
+            y = x.copy()
+            y[rng.integers(0, n)] = rng.integers(0, 4)
+            pairs.append((x, y, cig))
+        ref = pack_pallas_pairs(pairs, params, band_width=8)
+        prep = pack_stream_pairs(pairs, params, band_width=8)
+        assert prep["NB"] == 2
+        out = materialize_xyc(prep, interpret=True)
+        pkp._pack_call.clear_cache()
+        np.testing.assert_array_equal(np.asarray(out["xyc"]), ref["xyc"])
+        assert old_chunk  # silence unused warning

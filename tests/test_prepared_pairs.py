@@ -154,3 +154,56 @@ def test_streampack_pallas_route_decodes_like_xla(monkeypatch):
     np.testing.assert_allclose(got_ll, want_ll, rtol=1e-4)
     for b in range(len(pairs)):
         assert got_cigs[b] == want_cigs[b]
+
+
+def test_streampack_multi_tile_decode(monkeypatch):
+    """B > 128 (two lane tiles): the stream pack, the realign kernel's
+    2-program grid and the MEA walker must all place/consume lanes
+    correctly — guards the non-contiguous lane-assignment bug class
+    (arr[:, i].reshape(-1)[:B] = v silently no-ops at NB > 1)."""
+    import nanopore_tpu.ops.pack_pallas as pkp
+
+    monkeypatch.setenv("NANOPORE_TPU_PACK", "stream")
+    monkeypatch.setenv("NANOPORE_TPU_PACK_INTERPRET", "1")
+    monkeypatch.setattr(pkp, "CHUNK", 8)
+    monkeypatch.setattr(pkp, "SEG", 8)
+    rng = np.random.default_rng(71)
+    params = make_kernel_params(PairHmmModel.default())
+    base = _pairs(rng)
+    # 130 candidates: tile 1 holds reads 128/129
+    pairs = [base[i % len(base)] for i in range(130)]
+
+    want = dispatch.prepared_from_pairs(
+        {}, pairs, params, band_width=8,
+        prepared_cls=dispatch.PreparedRealign,
+    )
+    want_ll, want_cigs, _ = want.decode()
+
+    orig_run = ppr.PallasRealignPlan.run
+    orig_tb = tbp._mea_tb_call
+
+    def interp_tb(mn, dirs_raw, offs, k1_pad, NB, W, interpret=False):
+        return orig_tb(mn, dirs_raw, offs, k1_pad, NB, W, True)
+
+    with mock.patch.object(dispatch, "kernel_choice", lambda: "pallas"), \
+         mock.patch.object(
+             dispatch, "_PALLAS_BAND_WIDTHS", (8, 32, 64)
+         ), \
+         mock.patch.object(
+             ppr.PallasRealignPlan, "run",
+             lambda self: orig_run(self, interpret=True),
+         ), \
+         mock.patch.object(tbp, "_mea_tb_call", interp_tb):
+        got = dispatch.prepared_from_pairs(
+            {},
+            pairs,
+            params,
+            band_width=8,
+            prepared_cls=dispatch.PreparedRealign,
+        )
+        got_ll, got_cigs, _ = got.decode()
+    pkp._pack_call.clear_cache()
+
+    np.testing.assert_allclose(got_ll, want_ll, rtol=1e-4)
+    for b in (0, 1, 127, 128, 129):
+        assert got_cigs[b] == want_cigs[b]
