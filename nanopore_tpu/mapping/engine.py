@@ -62,11 +62,12 @@ class MapperConfig:
     # the fused realign kernel), "viterbi" = single-pass max-product —
     # the analogue of the reference aligners' own extension DP
     # (bwa/lastal/lastz/blasr).  The Viterbi FORWARD (scoring) pass is
-    # ~1.5x the fused kernel's cells/s, but its full decode (kernel +
-    # backpointer walk) measures SLOWER than the MEA decode path
-    # (VITERBI_HW.json: viterbi_vs_mea < 1) — use it for reference
-    # max-product semantics or score-only filtering, not speed.  MEA
-    # is the default and the fastest full decode.
+    # ~1.4x the fused kernel's cells/s; the full decode (kernel +
+    # backpointer walk) wins at large batches (VITERBI_HW.json B=1024:
+    # 1.3x MEA) but loses at the production batch size 128 — MEA stays
+    # the default and fastest in the pipelined mapping path; viterbi
+    # serves reference max-product semantics, score-only filtering and
+    # large-batch offline decodes.
     decode: str = "mea"
     # mixed-length batching policy: when set, candidates bucket by the
     # smallest bin >= n + m (their diagonal need) and each bucket

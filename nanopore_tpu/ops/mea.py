@@ -466,6 +466,43 @@ def _rle_ops_row(row: np.ndarray) -> list[tuple[int, int]]:
     ]
 
 
+def rle_ops_batch(ops_b: np.ndarray) -> list[list[tuple[int, int]]]:
+    """Vectorised batch run-length encode: (B, K1) op codes -> cigars.
+
+    One set of full-matrix numpy passes instead of B per-row passes —
+    at B=1024 x K=10^4 the per-row loop costs ~1 s/batch, several
+    times the on-chip walk it postprocesses.  Row boundaries break
+    runs via the row-id stream; per-read work is O(#runs) only.
+    """
+    ops_b = np.ascontiguousarray(ops_b)
+    B = ops_b.shape[0]
+    mask = ops_b != OP_NONE
+    counts = mask.sum(axis=1)
+    flat = ops_b[mask]
+    if flat.size == 0:
+        return [[] for _ in range(B)]
+    row_id = np.repeat(np.arange(B, dtype=np.int64), counts)
+    brk = np.nonzero(
+        (flat[1:] != flat[:-1]) | (row_id[1:] != row_id[:-1])
+    )[0]
+    starts = np.concatenate([[0], brk + 1])
+    lens = np.diff(np.concatenate([starts, [flat.size]]))
+    run_ops = flat[starts]
+    run_rows = row_id[starts]
+    # runs are row-major: slice each read's run range
+    bounds = np.searchsorted(run_rows, np.arange(B + 1))
+    out: list[list[tuple[int, int]]] = []
+    for b in range(B):
+        lo, hi = bounds[b], bounds[b + 1]
+        out.append(
+            [
+                (_OP_TO_CIG[int(o)], int(ln))
+                for o, ln in zip(run_ops[lo:hi], lens[lo:hi])
+            ]
+        )
+    return out
+
+
 def traceback_cigars_batch(
     dirs, offsets, m, n
 ) -> list[list[tuple[int, int]]]:
@@ -484,7 +521,7 @@ def traceback_cigars_batch(
             jnp.asarray(n),
         )
     )
-    return [_rle_ops_row(ops[b]) for b in range(ops.shape[0])]
+    return rle_ops_batch(ops)
 
 
 @jax.jit

@@ -569,22 +569,22 @@ def viterbi_cigars_pallas(
     bp_raw, offsets, m, n, fstate, interpret: bool = False
 ) -> list[list[tuple[int, int]]]:
     """Cigars via the on-chip Viterbi walker."""
-    from nanopore_tpu.ops.mea import _rle_ops_row
+    from nanopore_tpu.ops.mea import rle_ops_batch
 
     ops = viterbi_traceback_ops_pallas(
         bp_raw, offsets, m, n, fstate, interpret
     )
-    return [_rle_ops_row(ops[b]) for b in range(ops.shape[0])]
+    return rle_ops_batch(ops)
 
 
 def traceback_cigars_pallas(
     dirs_raw, offsets, m, n, interpret: bool = False
 ) -> list[list[tuple[int, int]]]:
     """Cigars via the on-chip walker (the TPU production traceback)."""
-    from nanopore_tpu.ops.mea import _rle_ops_row
+    from nanopore_tpu.ops.mea import rle_ops_batch
 
     ops = mea_traceback_ops_pallas(dirs_raw, offsets, m, n, interpret)
-    return [_rle_ops_row(ops[b]) for b in range(ops.shape[0])]
+    return rle_ops_batch(ops)
 
 
 def mea_traceback_ops_pallas(
