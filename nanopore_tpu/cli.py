@@ -94,7 +94,7 @@ def cmd_realign(args) -> int:
     realign_sam_file(
         args.input, args.output, args.reads, args.reference,
         gap_gamma=args.gap_gamma, match_gamma=args.match_gamma,
-        hmm_model=model,
+        hmm_model=model, band_width=args.band_width,
     )
     print("wrote %s" % args.output)
     return 0
@@ -195,6 +195,10 @@ def main(argv=None) -> int:
     p.add_argument("--hmm", default=None)
     p.add_argument("--gap-gamma", type=float, default=0.5)
     p.add_argument("--match-gamma", type=float, default=0.0)
+    # the realign-parity band: the reference's production band is 21
+    # cells (--diagonalExpansion=10); 32 covers it at half the cells
+    # of 64 (MapperSpec.band_width default)
+    p.add_argument("--band-width", type=int, default=32)
     p.set_defaults(fn=cmd_realign)
 
     p = sub.add_parser("em", help="Baum-Welch train an HMM on a chained SAM")
