@@ -44,6 +44,80 @@ def _next_pow2(x: int) -> int:
     return 1 << max(6, (x - 1).bit_length())
 
 
+def window_global_pair(
+    ref_codes: np.ndarray,
+    cigar: list[tuple[int, int]],
+    pad: int = 128,
+) -> tuple[np.ndarray, list[tuple[int, int]], int, int]:
+    """Trim a GLOBAL guide cigar to the read's aligned ref window.
+
+    Chained records are global (pos 0, cigar spans the whole
+    reference), so their leading/trailing pure-deletion runs are as
+    long as the flanking reference — against a megabase contig that
+    costs a megabase of DP diagonals per read for zero aligned-pair
+    information.  This is the banded analogue of the reference's
+    ``--splitMatrixBiggerThanThis`` matrix decomposition
+    (utils.py:587): realign only ``ref[j0:j1]`` around the aligned
+    span (± ``pad`` ref bases of slack for the redecode to move into)
+    and splice the flanking deletions back afterwards
+    (:func:`splice_window_cigar`).
+
+    Returns ``(ref_window, window_guide, j0, j1)``; the window guide
+    consumes ``j1 - j0`` reference and the full read.  When the guide
+    has no flanking deletions beyond ``pad`` this is the identity
+    (j0 = 0, j1 = n).
+    """
+    from nanopore_tpu.io.sam import CIG as _C
+
+    n = len(ref_codes)
+    lead = 0
+    i = 0
+    while i < len(cigar) and cigar[i][0] in (_C.D, _C.N):
+        lead += cigar[i][1]
+        i += 1
+    tail = 0
+    j = len(cigar)
+    while j > i and cigar[j - 1][0] in (_C.D, _C.N):
+        tail += cigar[j - 1][1]
+        j -= 1
+    mid = list(cigar[i:j])
+    if not mid:  # degenerate (no aligned read content): leave as-is
+        return ref_codes, list(cigar), 0, n
+    j0 = max(0, lead - pad)
+    j1 = min(n, n - tail + pad)
+    guide: list[tuple[int, int]] = []
+    if lead - j0 > 0:
+        guide.append((_C.D, lead - j0))
+    guide += mid
+    if j1 - (n - tail) > 0:
+        guide.append((_C.D, j1 - (n - tail)))
+    return ref_codes[j0:j1], guide, j0, j1
+
+
+def splice_window_cigar(
+    cigar: list[tuple[int, int]], j0: int, j1: int, n: int
+) -> list[tuple[int, int]]:
+    """Re-embed a window-global cigar into full-reference coordinates:
+    prepend/append the trimmed flanking deletions, merging runs."""
+    from nanopore_tpu.io.sam import CIG as _C
+
+    out: list[tuple[int, int]] = []
+
+    def push(op, length):
+        if length <= 0:
+            return
+        if out and out[-1][0] == op:
+            out[-1] = (op, out[-1][1] + length)
+        else:
+            out.append((op, length))
+
+    push(_C.D, j0)
+    for op, length in cigar:
+        push(op, length)
+    push(_C.D, n - j1)
+    return out
+
+
 def realign_records(
     records: list[SamRecord],
     ref_seqs: dict[str, str],
@@ -87,12 +161,23 @@ def realign_records(
     if rescore and not pallas_rescore:
         require_gamma_safe_backend(band_width)
 
-    # bucket by padded shapes to bound recompiles
+    # window each global record to its aligned ref span (the banded
+    # --splitMatrixBiggerThanThis analogue: flanking pure-D runs cost a
+    # diagonal per ref base for zero aligned-pair information), then
+    # bucket by padded WINDOW shapes to bound recompiles
+    ref_codes = {name: encode(seq) for name, seq in ref_seqs.items()}
+    windows: list[tuple[int, int, list]] = []
     buckets: dict[tuple[int, int], list[int]] = {}
     for idx, rec in enumerate(records):
-        n = len(ref_seqs[rec.rname])
+        assert rec.pos == 0, "realign requires chained global records"
+        _, guide, j0, j1 = window_global_pair(
+            ref_codes[rec.rname], rec.cigar
+        )
+        windows.append((j0, j1, guide))
         m = len(rec.seq)
-        buckets.setdefault((_next_pow2(n), _next_pow2(m)), []).append(idx)
+        buckets.setdefault(
+            (_next_pow2(j1 - j0), _next_pow2(m)), []
+        ).append(idx)
 
     # single-process data parallelism: round-robin batches over the
     # local chips (each PreparedRealign is committed to its device and
@@ -101,7 +186,6 @@ def realign_records(
 
     import itertools
 
-    ref_codes = {name: encode(seq) for name, seq in ref_seqs.items()}
     bi = itertools.count()
 
     def batch_descriptors():
@@ -118,8 +202,10 @@ def realign_records(
         pairs = []
         for idx in sub:
             rec = records[idx]
-            assert rec.pos == 0, "realign requires chained global records"
-            pairs.append((ref_codes[rec.rname], encode(rec.seq), rec.cigar))
+            j0, j1, guide = windows[idx]
+            pairs.append(
+                (ref_codes[rec.rname][j0:j1], encode(rec.seq), guide)
+            )
         if rescore and not pallas_rescore:
             return sub, prepare_banded_batch(
                 pairs,
@@ -162,7 +248,10 @@ def realign_records(
                 fused, np.asarray(batch.offsets), cigars, band_width
             )
             for b, idx in enumerate(sub):
-                records[idx].cigar = cigars[b]
+                j0, j1, _ = windows[idx]
+                records[idx].cigar = splice_window_cigar(
+                    cigars[b], j0, j1, len(ref_codes[records[idx].rname])
+                )
                 scores[idx] = res[b]
         elif rescore:
             offs_np = np.asarray(batch.offsets)
@@ -176,10 +265,14 @@ def realign_records(
             gm_np = np.asarray(fb["gamma_match"])
             for b, idx in enumerate(sub):
                 rec = records[idx]
+                j0, j1, _ = windows[idx]
                 m = len(rec.seq)
-                n = len(ref_seqs[rec.rname])
-                new_cigar = mea_traceback(dirs_np[b], offs_np[b], m, n)
-                rec.cigar = new_cigar
+                new_cigar = mea_traceback(
+                    dirs_np[b], offs_np[b], m, j1 - j0
+                )
+                rec.cigar = splice_window_cigar(
+                    new_cigar, j0, j1, len(ref_codes[rec.rname])
+                )
                 scores[idx] = rescore_by_posterior(
                     gm_np[b], offs_np[b], new_cigar
                 )
@@ -192,7 +285,10 @@ def realign_records(
             # crosses to the host, not the direction bands.
             _, cigars, _ = prepared.decode()
             for b, idx in enumerate(sub):
-                records[idx].cigar = cigars[b]
+                j0, j1, _ = windows[idx]
+                records[idx].cigar = splice_window_cigar(
+                    cigars[b], j0, j1, len(ref_codes[records[idx].rname])
+                )
     return scores if rescore else []
 
 

@@ -128,17 +128,31 @@ class MarginAlignSnpCaller(Analysis):
         under one model: the --outputAllPosteriorProbs reduction
         (reference :136-155), with the gamma band reduced on device —
         only these small matrices cross to the host."""
+        from nanopore_tpu.align.realign import window_global_pair
+
         params = make_kernel_params(model)
         out: list = [None] * len(data.records)
         batch_size = preferred_realign_batch_size(self.batch_size)
-        # bucket by padded read length (the ref span per record is the
-        # whole contig — chained global records)
+        # window each global record to its aligned ref span (flanking
+        # pure-D runs carry zero posterior aligned-pair mass but cost a
+        # DP diagonal per ref base — the --splitMatrixBiggerThanThis
+        # analogue, see align.realign.window_global_pair), then bucket
+        # by padded WINDOW shapes
+        windows: list = [None] * len(data.records)
         buckets: dict[tuple[int, int], list[int]] = {}
         for idx, rec in enumerate(data.records):
-            n = len(data.ref_codes[rec.rname])
+            guide0 = [
+                (op, l)
+                for op, l in rec.cigar
+                if op in (CIG.M, CIG.I, CIG.D)
+            ]
+            _, guide, j0, j1 = window_global_pair(
+                data.ref_codes[rec.rname], guide0
+            )
+            windows[idx] = (j0, j1, guide)
             m = len(rec.query)
             buckets.setdefault(
-                (_next_pow2(n), _next_pow2(m)), []
+                (_next_pow2(j1 - j0), _next_pow2(m)), []
             ).append(idx)
         def descriptors():
             for (n_pad, m_pad), idxs in buckets.items():
@@ -152,13 +166,9 @@ class MarginAlignSnpCaller(Analysis):
             pairs = []
             for idx in sub:
                 rec = data.records[idx]
-                x = data.ref_codes[rec.rname]
+                j0, j1, guide = windows[idx]
+                x = data.ref_codes[rec.rname][j0:j1]
                 y = encode(rec.query)
-                guide = [
-                    (op, l)
-                    for op, l in rec.cigar
-                    if op in (CIG.M, CIG.I, CIG.D)
-                ]
                 pairs.append((x, y, guide))
             return sub, prepared_from_pairs(
                 # expectations only: the fused in-kernel retire stream
@@ -189,7 +199,17 @@ class MarginAlignSnpCaller(Analysis):
                 band_width=self.band_width,
             )
             for b, idx in enumerate(sub):
-                out[idx] = exps[b]
+                rec = data.records[idx]
+                j0, j1, _ = windows[idx]
+                n_full = len(data.ref_codes[rec.rname])
+                if j0 == 0 and j1 == n_full:
+                    out[idx] = exps[b]
+                else:
+                    # scatter the window expectations into full-ref
+                    # coordinates (the trimmed flanks carry none)
+                    e = np.zeros((n_full, 4), np.float32)
+                    e[j0:j1] = exps[b]
+                    out[idx] = e
         return out
 
     # ------------------------------------------------------------------ #

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+from unittest import mock
 
 from nanopore_tpu.align.model import PairHmmModel
 from nanopore_tpu.align.realign import realign_records, realign_sam_file
@@ -380,3 +381,70 @@ class TestEmCheckpoint:
             resumed_model.transitions, expected_model.transitions,
             rtol=1e-6,
         )
+
+
+class TestGlobalWindowing:
+    """window_global_pair: the banded --splitMatrixBiggerThanThis
+    analogue — realigning only the aligned ref window must reproduce
+    the full-reference realignment exactly once spliced back."""
+
+    def _case(self, rng, n=900, m=150, lead=350, tail=None):
+        from nanopore_tpu.io.encoding import decode as dec
+
+        ref = rng.integers(0, 4, n).astype(np.int8)
+        tail = n - lead - m if tail is None else tail
+        y = ref[lead : lead + m].copy()
+        y[rng.integers(0, m, 4)] = rng.integers(0, 4, 4)
+        cigar = [(CIG.D, lead), (CIG.M, m), (CIG.D, n - lead - m)]
+        rec = SamRecord(
+            qname="r", flag=0, rname="ref", pos=0, mapq=0,
+            cigar=cigar, seq=dec(y), qual="*",
+        )
+        return {"ref": dec(ref)}, rec
+
+    def test_window_matches_full_reference_realign(self):
+        import copy
+        from functools import partial
+
+        import nanopore_tpu.align.realign as ra
+
+        rng = np.random.default_rng(23)
+        ref_seqs, rec = self._case(rng)
+        rec_w = copy.deepcopy(rec)
+        rec_f = copy.deepcopy(rec)
+        # windowed (default pad=128 — flanks well beyond it)
+        ra.realign_records([rec_w], ref_seqs)
+        # forced identity window
+        orig = ra.window_global_pair
+        with mock.patch.object(
+            ra, "window_global_pair", partial(orig, pad=10**9)
+        ):
+            ra.realign_records([rec_f], ref_seqs)
+        assert rec_w.cigar == rec_f.cigar
+        # global invariant: consumes the whole read and reference
+        n = len(ref_seqs["ref"])
+        assert sum(
+            l for op, l in rec_w.cigar if op in (CIG.M, CIG.D)
+        ) == n
+        assert sum(
+            l for op, l in rec_w.cigar if op in (CIG.M, CIG.I)
+        ) == len(rec.seq)
+
+    def test_window_noop_when_no_flanks(self):
+        from nanopore_tpu.align.realign import window_global_pair
+        from nanopore_tpu.io.encoding import encode as enc
+
+        rng = np.random.default_rng(3)
+        x = rng.integers(0, 4, 40).astype(np.int8)
+        cig = [(CIG.M, 40)]
+        xw, guide, j0, j1 = window_global_pair(x, cig)
+        assert (j0, j1) == (0, 40) and guide == cig
+        assert xw is x or (np.asarray(xw) == x).all()
+
+    def test_splice_merges_runs(self):
+        from nanopore_tpu.align.realign import splice_window_cigar
+
+        out = splice_window_cigar(
+            [(CIG.D, 5), (CIG.M, 10), (CIG.D, 2)], 100, 117, 300
+        )
+        assert out == [(CIG.D, 105), (CIG.M, 10), (CIG.D, 185)]
