@@ -94,6 +94,14 @@ def require_gamma_safe_backend(band_width: int) -> None:
     )
 
 
+def pallas_max_k() -> int:
+    """Largest diagonal count the fused Pallas kernel serves per batch
+    (its per-diagonal HBM streams — boundary checkpoints, dirs, retire
+    rows — scale linearly with k; ~0.9 MB per diagonal per 128-lane
+    tile at W=64).  Override with NANOPORE_TPU_PALLAS_MAX_K."""
+    return int(os.environ.get("NANOPORE_TPU_PALLAS_MAX_K", "262144"))
+
+
 def pack_choice() -> str:
     """How Pallas-path batches are packed: 'stream' (default — host
     streams 1 byte/diagonal/read and the ops.pack_pallas kernel builds
@@ -121,11 +129,11 @@ def pallas_eligible(batch: BandedBatch) -> bool:
     """Geometry the fused Pallas kernel serves.  Per-read band offsets
     ride the streamed code top bits, so mixed-band batches need no
     uniformity check; the band must be a whole number of int8 sublane
-    tiles (W in _PALLAS_BAND_WIDTHS)."""
-    ok = batch.xc.shape[-1] in _PALLAS_BAND_WIDTHS
-    if not ok:
-        import logging
+    tiles (W in _PALLAS_BAND_WIDTHS) and the diagonal count must fit
+    the kernel's per-diagonal HBM stream budget (pallas_max_k)."""
+    import logging
 
+    if batch.xc.shape[-1] not in _PALLAS_BAND_WIDTHS:
         logging.getLogger(__name__).warning(
             "pallas kernel skipped: band_width=%d not in %s, batch of "
             "%d falls back to the XLA scan (latency-bound on TPU)",
@@ -133,7 +141,17 @@ def pallas_eligible(batch: BandedBatch) -> bool:
             _PALLAS_BAND_WIDTHS,
             batch.xc.shape[0],
         )
-    return ok
+        return False
+    if batch.k_max > pallas_max_k():
+        logging.getLogger(__name__).warning(
+            "pallas kernel skipped: k_max=%d exceeds "
+            "NANOPORE_TPU_PALLAS_MAX_K=%d (HBM stream budget); batch "
+            "of %d falls back to the XLA scan — consider windowing "
+            "the guides (align.realign.window_global_pair)",
+            batch.k_max, pallas_max_k(), batch.xc.shape[0],
+        )
+        return False
+    return True
 
 
 def local_dp_devices() -> list:
@@ -220,6 +238,24 @@ def prepared_from_pairs(
     use_pallas = (
         kernel_choice() == "pallas" and band_width in _PALLAS_BAND_WIDTHS
     )
+    if use_pallas and k_max > pallas_max_k():
+        # the fused kernel's HBM side (boundary checkpoints, dirs,
+        # retire rows) scales linearly with the diagonal count — a
+        # megabase-lattice batch would exhaust HBM.  Realign/SNP window
+        # their global records (align.realign.window_global_pair) so
+        # production batches never get here; EM on un-windowed megabase
+        # chained records can.  Fall back to the remat XLA path instead
+        # of OOMing the chip.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "pallas kernel skipped: k_max=%d exceeds "
+            "NANOPORE_TPU_PALLAS_MAX_K=%d (HBM stream budget); batch "
+            "of %d falls back to the XLA scan — consider windowing "
+            "the guides (align.realign.window_global_pair)",
+            k_max, pallas_max_k(), len(pairs),
+        )
+        use_pallas = False
     if use_pallas:
         if pack_choice() == "stream":
             # on-device band construction (cactus_realign builds its

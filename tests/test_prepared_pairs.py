@@ -207,3 +207,21 @@ def test_streampack_multi_tile_decode(monkeypatch):
     np.testing.assert_allclose(got_ll, want_ll, rtol=1e-4)
     for b in (0, 1, 127, 128, 129):
         assert got_cigs[b] == want_cigs[b]
+
+
+def test_pallas_k_budget_falls_back_to_xla(monkeypatch):
+    """Batches whose diagonal count exceeds the Pallas HBM stream
+    budget must take the XLA BandedBatch route instead of OOMing."""
+    monkeypatch.setenv("NANOPORE_TPU_PALLAS_MAX_K", "16")
+    rng = np.random.default_rng(3)
+    params = make_kernel_params(PairHmmModel.default())
+    pairs = _pairs(rng)  # k need ~30 > 16
+    with mock.patch.object(dispatch, "kernel_choice", lambda: "pallas"), \
+         mock.patch.object(dispatch, "_PALLAS_BAND_WIDTHS", (8,)):
+        prep = dispatch.prepared_from_pairs(
+            {}, pairs, params, band_width=8,
+            prepared_cls=dispatch.PreparedRealign,
+        )
+    assert prep._plan is None  # XLA fallback
+    ll, cigs, _ = prep.decode()
+    assert np.isfinite(ll).all() and len(cigs) == len(pairs)
