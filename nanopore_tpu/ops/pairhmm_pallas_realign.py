@@ -43,6 +43,7 @@ in all outputs.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -99,6 +100,15 @@ def _realign_kernel(
     #          phase B's remat pass REUSES them instead of recomputing
     #          the 5-tile max-reduction (bit-identical states, ~20 VPU
     #          ops saved per remat diagonal)
+    fst_hbm,  # (k_pad*5, W, BT) f32 (store_fwd mode): phase A's
+    #          forward states, row k*5+state — SHARED across grid
+    #          steps (tiles execute sequentially and each consumes its
+    #          own states within its step), so the footprint is one
+    #          tile's lattice regardless of NB.  Phase B then skips the
+    #          rematerialisation entirely: it streams these rows back
+    #          and recomputes only the emissions from the codes —
+    #          bit-identical to the remat (which already reuses phase
+    #          A's rescale inverses).  (1, 1, 1) dummy otherwise.
     gm_hbm,  # (NB*(K_pad+1), W, BT) f32 gamma_match band (emit_gamma
     #          mode — the --outputAllPosteriorProbs equivalent,
     #          reference marginAlignSnpCaller.py:136-146); (1,1,1)
@@ -145,12 +155,16 @@ def _realign_kernel(
     exp_buf,  # (4, W, BT) f32 expectation accumulator (emit_exp) else (1,1,1)
     ret_buf,  # (2*SEG, 4, BT) f32 retired-row staging (emit_exp)
     ret_sems,  # DMA (2,)
+    fst_stage,  # (2, SEG*5, W, BT) f32 fwd-state staging (store_fwd)
+    fst_buf,  # (2, SEG*5, W, BT) f32 fwd-state load buffer (store_fwd)
+    fst_sems,  # DMA (2, 2): [0]=phase-A dumps, [1]=phase-B loads
     *,
     k_pad: int,
     W: int,
     emit_gamma: bool,
     emit_em: bool,
     emit_exp: bool,
+    store_fwd: bool,
 ):
     bt = pl.program_id(0)
     n_chunks = k_pad // CHUNK
@@ -362,6 +376,14 @@ def _realign_kernel(
                         sfstage.at[sl], sfv_hbm.at[bt * S + s_idx - 2],
                         bnd_sems.at[sl, 2],
                     ).wait()
+                    if store_fwd:
+                        pltpu.make_async_copy(
+                            fst_stage.at[sl],
+                            fst_hbm.at[
+                                pl.ds((s_idx - 2) * SEG * 5, SEG * 5)
+                            ],
+                            fst_sems.at[0, sl],
+                        ).wait()
 
                 @pl.when(sl == 0)
                 def _stage0():
@@ -387,8 +409,9 @@ def _realign_kernel(
                     bnd_sems.at[sl, 1],
                 ).start()
 
-                # the PREVIOUS segment's rescale inverses are complete
-                # now (its last pair just ran): flush them
+                # the PREVIOUS segment's rescale inverses (and, in
+                # store_fwd mode, its forward states) are complete now
+                # (its last pair just ran): flush them
                 @pl.when(s_idx >= 1)
                 def _sfflush():
                     pltpu.make_async_copy(
@@ -396,6 +419,14 @@ def _realign_kernel(
                         sfv_hbm.at[bt * S + s_idx - 1],
                         bnd_sems.at[1 - sl, 2],
                     ).start()
+                    if store_fwd:
+                        pltpu.make_async_copy(
+                            fst_stage.at[1 - sl],
+                            fst_hbm.at[
+                                pl.ds((s_idx - 1) * SEG * 5, SEG * 5)
+                            ],
+                            fst_sems.at[0, 1 - sl],
+                        ).start()
 
             t = base + ip * 2
             k0 = p * 2
@@ -424,6 +455,15 @@ def _realign_kernel(
                 lax.rem(lax.div(p, pairs_per_seg), 2),
                 lax.rem(p, pairs_per_seg),
             ] = inv
+            if store_fwd:
+                # stage the pair's post-rescale states in f_buf row
+                # order ((local diag)*5 + state) so phase B's backward
+                # indexing is unchanged
+                sl2 = lax.rem(lax.div(p, pairs_per_seg), 2)
+                base10 = lax.rem(p, pairs_per_seg) * 10
+                for st in range(NUM_STATES):
+                    fst_stage[sl2, base10 + st] = new_b[st]
+                    fst_stage[sl2, base10 + 5 + st] = new_a[st]
             return 0
 
         lax.fori_loop(0, pairs_per_chunk, pair_body, 0)
@@ -437,6 +477,12 @@ def _realign_kernel(
         sfstage.at[(S - 1) % 2], sfv_hbm.at[bt * S + S - 1],
         bnd_sems.at[(S - 1) % 2, 2],
     ).start()
+    if store_fwd:
+        pltpu.make_async_copy(
+            fst_stage.at[(S - 1) % 2],
+            fst_hbm.at[pl.ds((S - 1) * SEG * 5, SEG * 5)],
+            fst_sems.at[0, (S - 1) % 2],
+        ).start()
     # drain the last two staged boundary dumps (phase B reads bnd_hbm)
     for s_idx in range(max(0, S - 2), S):
         sl = s_idx % 2
@@ -452,6 +498,12 @@ def _realign_kernel(
             sfstage.at[sl], sfv_hbm.at[bt * S + s_idx],
             bnd_sems.at[sl, 2],
         ).wait()
+        if store_fwd:
+            pltpu.make_async_copy(
+                fst_stage.at[sl],
+                fst_hbm.at[pl.ds(s_idx * SEG * 5, SEG * 5)],
+                fst_sems.at[0, sl],
+            ).wait()
     loglik = scal[2]
     loglik_ref[:, :] = loglik
 
@@ -488,25 +540,42 @@ def _realign_kernel(
 
     def seg_dmas(s, slot):
         k0 = s * SEG
-        return (
+        copies = [
             pltpu.make_async_copy(
                 xyc_hbm.at[bt, pl.ds(k0, SEG)],
                 bufc.at[pl.ds(slot * SEG, SEG)],
                 in_sems.at[0, slot],
             ),
             pltpu.make_async_copy(
-                bnd_hbm.at[pl.ds((bt * S + s) * 10, 10)], bndbuf.at[slot],
-                in_sems.at[1, slot],
-            ),
-            pltpu.make_async_copy(
-                bscal_hbm.at[bt * S + s], bscalbuf.at[slot],
-                in_sems.at[2, slot],
-            ),
-            pltpu.make_async_copy(
                 sfv_hbm.at[bt * S + s], sfvbuf.at[slot],
                 in_sems.at[3, slot],
             ),
-        )
+        ]
+        if store_fwd:
+            # forward states stream back instead of the boundary
+            # checkpoints (no rematerialisation)
+            copies.append(
+                pltpu.make_async_copy(
+                    fst_hbm.at[pl.ds(s * SEG * 5, SEG * 5)],
+                    fst_buf.at[slot],
+                    fst_sems.at[1, slot],
+                )
+            )
+        else:
+            copies.append(
+                pltpu.make_async_copy(
+                    bnd_hbm.at[pl.ds((bt * S + s) * 10, 10)],
+                    bndbuf.at[slot],
+                    in_sems.at[1, slot],
+                )
+            )
+            copies.append(
+                pltpu.make_async_copy(
+                    bscal_hbm.at[bt * S + s], bscalbuf.at[slot],
+                    in_sems.at[2, slot],
+                )
+            )
+        return copies
 
     for d in seg_dmas(S - 1, (S - 1) % 2):
         d.start()
@@ -699,36 +768,53 @@ def _realign_kernel(
                     ret_sems.at[slot],
                 ).wait()
 
-        # ---- 1. rematerialise the segment's forward states ----
-        a = [bndbuf[slot, st] for st in range(5)]
-        b = [bndbuf[slot, 5 + st] for st in range(5)]
-        ls_a = (bscalbuf[slot, 0], bscalbuf[slot, 5])  # (hi, Kahan c)
-        rs = bscalbuf[slot, 1]
-        dummy_acc = zb
-        for pp in range(pairs_per_seg):
-            t = slot * SEG + 2 * pp
-            new_b, ls_b, _, _, _, em_b = fwd_diag_step(
-                k0 + 2 * pp + 1, bufc[t], a, b, rs, ls_a, dummy_acc,
-                ones_b, rescale=False, need_ll=False,
-            )
-            new_a, ls_a, rs, _, _, em_a = fwd_diag_step(
-                k0 + 2 * pp + 2, bufc[t + 1], new_b, a, ones_b, ls_b,
-                dummy_acc, ones_b, rescale=True, need_ll=False,
-                inv_in=sfvbuf[slot, pp],
-            )
-            for st in range(NUM_STATES):
-                f_buf[(2 * pp) * 5 + st] = new_b[st]
-                f_buf[(2 * pp + 1) * 5 + st] = new_a[st]
-            # cache the diagonals' emissions for the backward sweep
-            for e in range(5):
-                e_cache[(2 * pp) * 5 + e] = em_b[e]
-                e_cache[(2 * pp + 1) * 5 + e] = em_a[e]
-            # per-diagonal forward rescale inverses (linear), for the
-            # backward g-factor product
-            sfinv_buf[2 * pp] = ones_b  # odd diagonals never rescale
-            sfinv_buf[2 * pp + 1] = rs
-            b = new_b
-            a = new_a
+        if store_fwd:
+            # ---- 1'. stored states stream back (no remat): only the
+            # emissions are recomputed from the codes (~1/3 of the
+            # remat recursion's op count)
+            for kl in range(SEG):
+                xy32 = bufc[slot * SEG + kl].astype(jnp.int32)
+                oh_x, oh_y = _unpack_onehots32(xy32)
+                e_cache[kl * 5 + 0] = match_emission(oh_x, oh_y)
+                gx1, gx3, gy2, gy4 = gap_emissions(oh_x, oh_y)
+                e_cache[kl * 5 + 1] = gx1
+                e_cache[kl * 5 + 2] = gx3
+                e_cache[kl * 5 + 3] = gy2
+                e_cache[kl * 5 + 4] = gy4
+            for pp in range(pairs_per_seg):
+                sfinv_buf[2 * pp] = ones_b
+                sfinv_buf[2 * pp + 1] = sfvbuf[slot, pp]
+        else:
+            # ---- 1. rematerialise the segment's forward states ----
+            a = [bndbuf[slot, st] for st in range(5)]
+            b = [bndbuf[slot, 5 + st] for st in range(5)]
+            ls_a = (bscalbuf[slot, 0], bscalbuf[slot, 5])  # (hi, c)
+            rs = bscalbuf[slot, 1]
+            dummy_acc = zb
+            for pp in range(pairs_per_seg):
+                t = slot * SEG + 2 * pp
+                new_b, ls_b, _, _, _, em_b = fwd_diag_step(
+                    k0 + 2 * pp + 1, bufc[t], a, b, rs, ls_a, dummy_acc,
+                    ones_b, rescale=False, need_ll=False,
+                )
+                new_a, ls_a, rs, _, _, em_a = fwd_diag_step(
+                    k0 + 2 * pp + 2, bufc[t + 1], new_b, a, ones_b,
+                    ls_b, dummy_acc, ones_b, rescale=True,
+                    need_ll=False, inv_in=sfvbuf[slot, pp],
+                )
+                for st in range(NUM_STATES):
+                    f_buf[(2 * pp) * 5 + st] = new_b[st]
+                    f_buf[(2 * pp + 1) * 5 + st] = new_a[st]
+                # cache the diagonals' emissions for the backward sweep
+                for e in range(5):
+                    e_cache[(2 * pp) * 5 + e] = em_b[e]
+                    e_cache[(2 * pp + 1) * 5 + e] = em_a[e]
+                # per-diagonal forward rescale inverses (linear), for
+                # the backward g-factor product
+                sfinv_buf[2 * pp] = ones_b  # odd diags never rescale
+                sfinv_buf[2 * pp + 1] = rs
+                b = new_b
+                a = new_a
 
         # ---- 2. backward + EM + MEA, diagonals k0+SEG .. k0+1 ----
         def cached_gap(j):
@@ -754,6 +840,11 @@ def _realign_kernel(
             mea_buf[0], mea_buf[1], mea_buf[2], mea_buf[3],
             mea_buf[4], mea_buf[5],
         )
+        def fwd_state(kl, st):
+            if store_fwd:
+                return fst_buf[slot, kl * 5 + st]
+            return f_buf[kl * 5 + st]
+
         for kl in range(SEG - 1, -1, -1):
             sfinv_next = scal[7] if kl == SEG - 1 else sfinv_buf[kl + 1]
             carry, choice, ret_row = bwd_diag_step(
@@ -763,7 +854,7 @@ def _realign_kernel(
                 cached_em(kl + 2),
                 cur_bits(kl + 1),
                 cur_bits(kl + 2),
-                [f_buf[kl * 5 + st] for st in range(NUM_STATES)],
+                [fwd_state(kl, st) for st in range(NUM_STATES)],
                 sfinv_next,
                 carry,
             )
@@ -1149,18 +1240,18 @@ def prepare_pallas_realign(batch: BandedBatch, params: KernelParams) -> dict:
     jax.jit,
     static_argnames=(
         "k_pad", "NB", "W", "interpret", "emit_gamma", "emit_em",
-        "emit_exp",
+        "emit_exp", "store_fwd",
     ),
 )
 def _pallas_realign_call(
     tf, emf, egf, ggmg, kend, xyc,
     k_pad, NB, W, interpret=False, emit_gamma=False, emit_em=True,
-    emit_exp=False,
+    emit_exp=False, store_fwd=False,
 ):
     S = k_pad // SEG
     kernel = functools.partial(
         _realign_kernel, k_pad=k_pad, W=W, emit_gamma=emit_gamma,
-        emit_em=emit_em, emit_exp=emit_exp,
+        emit_em=emit_em, emit_exp=emit_exp, store_fwd=store_fwd,
     )
     em_rows = (25, 16, 8, 8) if emit_em else (1, 1, 1, 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1202,6 +1293,7 @@ def _pallas_realign_call(
             pl.BlockSpec(memory_space=pl.ANY),  # bnd
             pl.BlockSpec(memory_space=pl.ANY),  # bscal
             pl.BlockSpec(memory_space=pl.ANY),  # sfv (rescale inverses)
+            pl.BlockSpec(memory_space=pl.ANY),  # fst (store_fwd states)
             pl.BlockSpec(memory_space=pl.ANY),  # gm (dummy when off)
             pl.BlockSpec(memory_space=pl.ANY),  # ret (dummy when off)
             pl.BlockSpec(
@@ -1217,7 +1309,10 @@ def _pallas_realign_call(
             pltpu.VMEM((2, 8, 1, BT), jnp.float32),  # bscalbuf
             pltpu.VMEM((2, SEG // 2, 1, BT), jnp.float32),  # sfstage
             pltpu.VMEM((2, SEG // 2, 1, BT), jnp.float32),  # sfvbuf
-            pltpu.VMEM((SEG * 5, W, BT), jnp.float32),  # f_buf
+            pltpu.VMEM(
+                (SEG * 5, W, BT) if not store_fwd else (1, 1, 1),
+                jnp.float32,
+            ),  # f_buf (remat mode only)
             pltpu.VMEM((SEG, 1, BT), jnp.float32),  # sfinv_buf
             pltpu.VMEM((SEG * 5, W, BT), jnp.float32),  # e_cache
             pltpu.VMEM((10, W, BT), jnp.float32),  # top_e
@@ -1249,6 +1344,15 @@ def _pallas_realign_call(
                 (2 * SEG, 4, BT) if emit_exp else (1, 1, 1), jnp.float32
             ),  # ret_buf
             pltpu.SemaphoreType.DMA((2,)),  # ret_sems
+            pltpu.VMEM(
+                (2, SEG * 5, W, BT) if store_fwd else (1, 1, 1),
+                jnp.float32,
+            ),  # fst_stage
+            pltpu.VMEM(
+                (2, SEG * 5, W, BT) if store_fwd else (1, 1, 1),
+                jnp.float32,
+            ),  # fst_buf
+            pltpu.SemaphoreType.DMA((2, 2)),  # fst_sems
         ],
     )
     out_shapes = [
@@ -1264,6 +1368,10 @@ def _pallas_realign_call(
         jax.ShapeDtypeStruct(
             (NB * S, SEG // 2, 1, BT), jnp.float32
         ),  # sfv
+        jax.ShapeDtypeStruct(
+            (k_pad * 5, W, BT) if store_fwd else (1, 1, 1),
+            jnp.float32,
+        ),  # fst (shared scratch-like output, one tile's lattice)
         jax.ShapeDtypeStruct(
             (NB * (k_pad + 1), W, BT) if emit_gamma else (1, 1, 1),
             jnp.float32,
@@ -1284,7 +1392,7 @@ def _pallas_realign_call(
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(tf, emf, egf, ggmg, kend, xyc)
-    (loglik, score, trans, e16, edel, eins, dirs, _, _, _, gm, ret,
+    (loglik, score, trans, e16, edel, eins, dirs, _, _, _, _, gm, ret,
      flush) = outs
 
     def lanes(x):  # (NB, R, BT) -> (NB*BT, R)
@@ -1339,6 +1447,21 @@ def _pallas_realign_call(
     return out
 
 
+def _store_fwd_choice(k_pad: int, W: int) -> bool:
+    """store_fwd mode: phase A streams its forward states to HBM and
+    phase B skips the rematerialisation (bit-identical results; ~the
+    remat recursion's op count saved).  The shared state lattice costs
+    5*W*BT*4 bytes per diagonal (one tile's worth regardless of NB) —
+    auto mode enables it while that fits a conservative HBM budget.
+    Override with NANOPORE_TPU_STORE_FWD={auto,0,1}."""
+    mode = os.environ.get("NANOPORE_TPU_STORE_FWD", "auto")
+    if mode in ("0", "off"):
+        return False
+    if mode in ("1", "on"):
+        return True
+    return k_pad * 5 * W * BT * 4 <= (6 << 30)
+
+
 class PallasRealignPlan:
     """Device-resident inputs for the fused realign kernel.
 
@@ -1365,6 +1488,7 @@ class PallasRealignPlan:
         self.emit_gamma = emit_gamma
         self.emit_em = emit_em
         self.emit_exp = emit_exp
+        self.store_fwd = _store_fwd_choice(prep["k_pad"], prep["W"])
         self.device = device
         put = (
             jnp.asarray
@@ -1415,6 +1539,7 @@ class PallasRealignPlan:
         out = _pallas_realign_call(
             *self.arrays, self.k_pad, self.NB, self.W, interpret,
             self.emit_gamma, self.emit_em, self.emit_exp,
+            self.store_fwd,
         )
         B, K = self.B, self.K
         res = {
