@@ -155,8 +155,9 @@ def _realign_kernel(
     exp_buf,  # (4, W, BT) f32 expectation accumulator (emit_exp) else (1,1,1)
     ret_buf,  # (2*SEG, 4, BT) f32 retired-row staging (emit_exp)
     ret_sems,  # DMA (2,)
-    fst_stage,  # (2, SEG*5, W, BT) f32 fwd-state staging (store_fwd)
-    fst_buf,  # (2, SEG*5, W, BT) f32 fwd-state load buffer (store_fwd)
+    fst_stage,  # (2, SEG*5, W, BT) f32 fwd-state staging (store_fwd);
+    #          REUSED as the phase-B load buffer (the phases are
+    #          disjoint and the final phase-A drain precedes phase B)
     fst_sems,  # DMA (2, 2): [0]=phase-A dumps, [1]=phase-B loads
     *,
     k_pad: int,
@@ -363,15 +364,17 @@ def _realign_kernel(
 
                 @pl.when(s_idx >= 2)
                 def _drain():
-                    prev_r = (bt * S + s_idx - 2) * 10
-                    pltpu.make_async_copy(
-                        stageA.at[sl], bnd_hbm.at[pl.ds(prev_r, 10)],
-                        bnd_sems.at[sl, 0],
-                    ).wait()
-                    pltpu.make_async_copy(
-                        stageS.at[sl], bscal_hbm.at[bt * S + s_idx - 2],
-                        bnd_sems.at[sl, 1],
-                    ).wait()
+                    if not store_fwd:
+                        prev_r = (bt * S + s_idx - 2) * 10
+                        pltpu.make_async_copy(
+                            stageA.at[sl], bnd_hbm.at[pl.ds(prev_r, 10)],
+                            bnd_sems.at[sl, 0],
+                        ).wait()
+                        pltpu.make_async_copy(
+                            stageS.at[sl],
+                            bscal_hbm.at[bt * S + s_idx - 2],
+                            bnd_sems.at[sl, 1],
+                        ).wait()
                     pltpu.make_async_copy(
                         sfstage.at[sl], sfv_hbm.at[bt * S + s_idx - 2],
                         bnd_sems.at[sl, 2],
@@ -385,29 +388,30 @@ def _realign_kernel(
                             fst_sems.at[0, sl],
                         ).wait()
 
-                @pl.when(sl == 0)
-                def _stage0():
-                    for st in range(NUM_STATES):
-                        stageA[0, st] = sA[st]
-                        stageA[0, 5 + st] = sB[st]
-                    stageS[0] = scal[:, :, :]
+                if not store_fwd:
+                    @pl.when(sl == 0)
+                    def _stage0():
+                        for st in range(NUM_STATES):
+                            stageA[0, st] = sA[st]
+                            stageA[0, 5 + st] = sB[st]
+                        stageS[0] = scal[:, :, :]
 
-                @pl.when(sl == 1)
-                def _stage1():
-                    for st in range(NUM_STATES):
-                        stageA[1, st] = sA[st]
-                        stageA[1, 5 + st] = sB[st]
-                    stageS[1] = scal[:, :, :]
+                    @pl.when(sl == 1)
+                    def _stage1():
+                        for st in range(NUM_STATES):
+                            stageA[1, st] = sA[st]
+                            stageA[1, 5 + st] = sB[st]
+                        stageS[1] = scal[:, :, :]
 
-                base_r = (bt * S + s_idx) * 10
-                pltpu.make_async_copy(
-                    stageA.at[sl], bnd_hbm.at[pl.ds(base_r, 10)],
-                    bnd_sems.at[sl, 0],
-                ).start()
-                pltpu.make_async_copy(
-                    stageS.at[sl], bscal_hbm.at[bt * S + s_idx],
-                    bnd_sems.at[sl, 1],
-                ).start()
+                    base_r = (bt * S + s_idx) * 10
+                    pltpu.make_async_copy(
+                        stageA.at[sl], bnd_hbm.at[pl.ds(base_r, 10)],
+                        bnd_sems.at[sl, 0],
+                    ).start()
+                    pltpu.make_async_copy(
+                        stageS.at[sl], bscal_hbm.at[bt * S + s_idx],
+                        bnd_sems.at[sl, 1],
+                    ).start()
 
                 # the PREVIOUS segment's rescale inverses (and, in
                 # store_fwd mode, its forward states) are complete now
@@ -483,17 +487,19 @@ def _realign_kernel(
             fst_hbm.at[pl.ds((S - 1) * SEG * 5, SEG * 5)],
             fst_sems.at[0, (S - 1) % 2],
         ).start()
-    # drain the last two staged boundary dumps (phase B reads bnd_hbm)
+    # drain the last two staged dumps (phase B reads these streams)
     for s_idx in range(max(0, S - 2), S):
         sl = s_idx % 2
-        pltpu.make_async_copy(
-            stageA.at[sl], bnd_hbm.at[pl.ds((bt * S + s_idx) * 10, 10)],
-            bnd_sems.at[sl, 0],
-        ).wait()
-        pltpu.make_async_copy(
-            stageS.at[sl], bscal_hbm.at[bt * S + s_idx],
-            bnd_sems.at[sl, 1],
-        ).wait()
+        if not store_fwd:
+            pltpu.make_async_copy(
+                stageA.at[sl],
+                bnd_hbm.at[pl.ds((bt * S + s_idx) * 10, 10)],
+                bnd_sems.at[sl, 0],
+            ).wait()
+            pltpu.make_async_copy(
+                stageS.at[sl], bscal_hbm.at[bt * S + s_idx],
+                bnd_sems.at[sl, 1],
+            ).wait()
         pltpu.make_async_copy(
             sfstage.at[sl], sfv_hbm.at[bt * S + s_idx],
             bnd_sems.at[sl, 2],
@@ -553,11 +559,12 @@ def _realign_kernel(
         ]
         if store_fwd:
             # forward states stream back instead of the boundary
-            # checkpoints (no rematerialisation)
+            # checkpoints (no rematerialisation); fst_stage doubles as
+            # the load buffer — phase A is fully drained by now
             copies.append(
                 pltpu.make_async_copy(
                     fst_hbm.at[pl.ds(s * SEG * 5, SEG * 5)],
-                    fst_buf.at[slot],
+                    fst_stage.at[slot],
                     fst_sems.at[1, slot],
                 )
             )
@@ -842,7 +849,7 @@ def _realign_kernel(
         )
         def fwd_state(kl, st):
             if store_fwd:
-                return fst_buf[slot, kl * 5 + st]
+                return fst_stage[slot, kl * 5 + st]
             return f_buf[kl * 5 + st]
 
         for kl in range(SEG - 1, -1, -1):
@@ -1305,7 +1312,10 @@ def _pallas_realign_call(
         scratch_shapes=[
             pltpu.VMEM((2 * CHUNK, W, BT), jnp.int8),  # bufA
             pltpu.VMEM((2 * SEG, W, BT), jnp.int8),  # bufc
-            pltpu.VMEM((2, 10, W, BT), jnp.float32),  # bndbuf
+            pltpu.VMEM(
+                (2, 10, W, BT) if not store_fwd else (1, 1, 1),
+                jnp.float32,
+            ),  # bndbuf (remat mode only)
             pltpu.VMEM((2, 8, 1, BT), jnp.float32),  # bscalbuf
             pltpu.VMEM((2, SEG // 2, 1, BT), jnp.float32),  # sfstage
             pltpu.VMEM((2, SEG // 2, 1, BT), jnp.float32),  # sfvbuf
@@ -1317,7 +1327,10 @@ def _pallas_realign_call(
             pltpu.VMEM((SEG * 5, W, BT), jnp.float32),  # e_cache
             pltpu.VMEM((10, W, BT), jnp.float32),  # top_e
             pltpu.VMEM((2, W, BT), jnp.int8),  # top_c
-            pltpu.VMEM((2, 10, W, BT), jnp.float32),  # stageA
+            pltpu.VMEM(
+                (2, 10, W, BT) if not store_fwd else (1, 1, 1),
+                jnp.float32,
+            ),  # stageA (remat mode only)
             pltpu.VMEM((2, 8, 1, BT), jnp.float32),  # stageS
             pltpu.VMEM((5, W, BT), jnp.float32),  # sA
             pltpu.VMEM((5, W, BT), jnp.float32),  # sB
@@ -1347,11 +1360,7 @@ def _pallas_realign_call(
             pltpu.VMEM(
                 (2, SEG * 5, W, BT) if store_fwd else (1, 1, 1),
                 jnp.float32,
-            ),  # fst_stage
-            pltpu.VMEM(
-                (2, SEG * 5, W, BT) if store_fwd else (1, 1, 1),
-                jnp.float32,
-            ),  # fst_buf
+            ),  # fst_stage (phase-A dump staging AND phase-B load buf)
             pltpu.SemaphoreType.DMA((2, 2)),  # fst_sems
         ],
     )
@@ -1363,7 +1372,10 @@ def _pallas_realign_call(
         jax.ShapeDtypeStruct((NB, em_rows[2], BT), jnp.float32),  # edel
         jax.ShapeDtypeStruct((NB, em_rows[3], BT), jnp.float32),  # eins
         jax.ShapeDtypeStruct((NB * (k_pad + 1), W, BT), jnp.int8),  # dirs
-        jax.ShapeDtypeStruct((NB * S * 10, W, BT), jnp.float32),  # bnd
+        jax.ShapeDtypeStruct(
+            (NB * S * 10, W, BT) if not store_fwd else (1, 1, 1),
+            jnp.float32,
+        ),  # bnd (remat mode only)
         jax.ShapeDtypeStruct((NB * S, 8, 1, BT), jnp.float32),  # bscal
         jax.ShapeDtypeStruct(
             (NB * S, SEG // 2, 1, BT), jnp.float32
