@@ -146,6 +146,10 @@ class MarginAlignSnpCaller(Analysis):
                 for op, l in rec.cigar
                 if op in (CIG.M, CIG.I, CIG.D)
             ]
+            # the window scatter below places expectations at absolute
+            # ref coordinates j0:j1 — only valid for chained GLOBAL
+            # records (pos 0), mirroring align/realign.realign_records
+            assert rec.pos == 0, "SNP caller requires chained global records"
             _, guide, j0, j1 = window_global_pair(
                 data.ref_codes[rec.rname], guide0
             )

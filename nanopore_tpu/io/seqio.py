@@ -84,6 +84,13 @@ def fastq_read_raw(path_or_handle) -> Iterator[tuple[str, str, str]]:
             plus = handle.readline().strip()
             assert plus.startswith("+"), "bad fastq separator: %r" % plus
             qual = handle.readline().strip()
+            # same contract as fastq_read: a truncated/malformed record
+            # must fail at parse time, not flow into SAM with
+            # mismatched SEQ/QUAL lengths ('*' = no quals is allowed)
+            assert qual == "*" or len(qual) == len(seq), (
+                "fastq record %r: qual length %d != seq length %d"
+                % (header[1:], len(qual), len(seq))
+            )
             yield header[1:], seq, qual
     finally:
         if close:

@@ -622,6 +622,10 @@ class PreparedPosteriors:
             if self._exp:
                 res["ret_raw"] = out["ret_raw"]
                 res["flush_raw"] = out["flush_raw"]
+                # the retire threshold was applied IN KERNEL at plan
+                # build; carry it so expectations_from_post can detect
+                # a caller passing a different one (ADVICE r4)
+                res["exp_threshold"] = self._plan.exp_threshold
             return res
         import jax.numpy as jnp
 

@@ -147,7 +147,7 @@ def _realign_kernel(
     #        4 prev bwd rescale inv, 5 lsA Kahan comp, 6 g-factor G,
     #        7 fwd rescale inv of the diag above the current segment
     dirs_buf,  # (2*SEG, W, BT) int8
-    in_sems,  # DMA (3, 2): bufA/bufc, bndbuf, bscalbuf
+    in_sems,  # DMA (4, 2): bufA/bufc, bndbuf, bscalbuf, sfvbuf
     out_sems,  # DMA (2,)
     bnd_sems,  # DMA (2, 3): phase-A staged dumps, per stage slot
     gm_buf,  # (2*SEG, W, BT) f32 gamma staging (emit_gamma) else (1,1,1)
@@ -1500,6 +1500,7 @@ class PallasRealignPlan:
         self.emit_gamma = emit_gamma
         self.emit_em = emit_em
         self.emit_exp = emit_exp
+        self.exp_threshold = float(exp_threshold)
         self.store_fwd = _store_fwd_choice(prep["k_pad"], prep["W"])
         self.device = device
         put = (

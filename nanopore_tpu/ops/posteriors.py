@@ -394,10 +394,23 @@ def expectations_from_post(
     """Layout-agnostic posterior expectations over a run() output.
 
     Preference order: the kernel-fused retire stream (``ret_raw``,
-    threshold applied IN KERNEL at plan build time), then the raw gamma
+    threshold applied IN KERNEL at plan build time — on that path the
+    ``threshold`` argument here is IGNORED in favour of the plan's
+    ``exp_threshold``; a mismatch logs a warning), then the raw gamma
     band scan, then the per-read band scan.
     """
     if "ret_raw" in post:
+        plan_thr = post.get("exp_threshold")
+        if plan_thr is not None and abs(plan_thr - threshold) > 1e-12:
+            import logging
+
+            logging.getLogger("nanopore_tpu").warning(
+                "expectations_from_post: threshold=%g ignored on the "
+                "fused ret_raw path (kernel applied the plan's "
+                "exp_threshold=%g at build time)",
+                threshold,
+                plan_thr,
+            )
         W = band_width or post["flush_raw"].shape[2]
         return posterior_expectations_fused(
             post["ret_raw"], post["flush_raw"], offsets, ns, W
