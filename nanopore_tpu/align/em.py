@@ -54,6 +54,17 @@ class EmOptions:
     # stores the O(K) forward lattice, so memory is O(K/seg + seg) and
     # long reads train at full batch (see ops.pairhmm.em_expectations)
     remat_segment: int = 512
+    # EM window pad (ref bases kept around each aligned span).  Chained
+    # global records span the WHOLE reference (utils.py:491-501); on a
+    # megabase contig the flanking pure-deletion runs would cost a DP
+    # diagonal per ref base per read per iteration.  The lattice is
+    # windowed (align.realign.window_global_pair) and the flank mass —
+    # which the reference's EM counts, notably the D->D dwell
+    # transitions — is restored analytically per iteration
+    # (align.flank.em_flank_correction): the banded analogue of
+    # --splitMatrixBiggerThanThis=300 (utils.py:511).  None disables
+    # windowing (full-reference lattices, the pre-round-5 behaviour).
+    window_pad: int | None = 256
     # mid-training checkpoint/resume (SURVEY.md section 5): HMM params +
     # trial/iteration indices + traces saved every `checkpoint_every`
     # iterations; a restarted run resumes from the file instead of
@@ -110,6 +121,7 @@ def em_fingerprint(
         "seed": opts.seed,
         "band_width": opts.band_width,
         "pseudocount": opts.pseudocount,
+        "window_pad": opts.window_pad,
         "n_pairs": len(pairs),
         "data_crc": crc,
     }
@@ -182,6 +194,26 @@ def em_train(
         kept.append(pair)
     assert kept, "no alignments to train on"
 
+    # window each global pair to its aligned ref span; flank mass is
+    # restored analytically per iteration (EmOptions.window_pad)
+    corr_pairs: list = []
+    if opts.window_pad is not None:
+        from nanopore_tpu.align.realign import window_global_pair
+
+        windowed = []
+        for x, y, guide in kept:
+            xw, gw, g0, g1 = window_global_pair(
+                x, guide, pad=opts.window_pad
+            )
+            windowed.append((xw, y, gw))
+            if g0 > 0 or g1 < len(x):
+                corr_pairs.append((x, guide))
+        # fingerprint the ORIGINAL pairs (resume safety), train windowed
+        fingerprint_pairs = kept
+        kept = windowed
+    else:
+        fingerprint_pairs = kept
+
     use_mesh = opts.use_mesh
     if use_mesh is None:
         import jax
@@ -190,7 +222,7 @@ def em_train(
             "tpu", "axon",
         )
     if use_mesh:
-        return _em_train_sharded(kept, opts)
+        return _em_train_sharded(kept, opts, corr_pairs, fingerprint_pairs)
 
     # batches are shape-stable across iterations: prepare once; on TPU
     # a PreparedEm plan keeps the packed codes device-resident (built
@@ -239,7 +271,7 @@ def em_train(
 
     trial_models: list[PairHmmModel] = []
     running: list[list[float]] = []
-    fingerprint = em_fingerprint(kept, opts)
+    fingerprint = em_fingerprint(fingerprint_pairs, opts)
     ck = (
         load_em_checkpoint(opts.checkpoint_path)
         if opts.checkpoint_path
@@ -329,6 +361,23 @@ def em_train(
                 )
                 for batch, prep in zip(batches, preps)
             ]
+            if corr_pairs:
+                # analytic flank mass of the windowed pairs under the
+                # CURRENT model (align.flank) — computed on the host
+                # while the device E-steps above are still in flight
+                from nanopore_tpu.align.flank import (
+                    corridor_tables,
+                    em_flank_correction,
+                )
+
+                t_c, eg_c = corridor_tables(model)
+                for x_full, guide_full in corr_pairs:
+                    dt, de, dll = em_flank_correction(
+                        x_full, guide_full, opts.window_pad, t_c, eg_c
+                    )
+                    trans += dt
+                    emis += de
+                    loglik += dll
             for out in outs:
                 trans += np.asarray(out["trans"], np.float64).sum(axis=0)
                 emis += np.asarray(out["emis"], np.float64).sum(axis=0)
@@ -356,7 +405,39 @@ def em_train(
     )
 
 
-def _em_train_sharded(kept, opts: EmOptions) -> EmResult:
+def _sum_flank_corrections(corr_pairs, window_pad: int):
+    """Build the per-model summed flank-correction callable for
+    sharded_em_train: (transitions, emissions) -> (ct, ce, cll)."""
+    from nanopore_tpu.align.flank import (
+        corridor_tables,
+        em_flank_correction,
+    )
+    from nanopore_tpu.align.model import PairHmmModel
+
+    def correction(transitions, emissions):
+        mm = PairHmmModel(
+            transitions=np.asarray(transitions, np.float64),
+            emissions=np.asarray(emissions, np.float64),
+        )
+        t_c, eg_c = corridor_tables(mm)
+        ct = np.zeros((5, 5))
+        ce = np.zeros((5, 16))
+        cll = 0.0
+        for x, guide in corr_pairs:
+            dt, de, dll = em_flank_correction(
+                x, guide, window_pad, t_c, eg_c
+            )
+            ct += dt
+            ce += de
+            cll += dll
+        return ct, ce, cll
+
+    return correction
+
+
+def _em_train_sharded(
+    kept, opts: EmOptions, corr_pairs=None, fingerprint_pairs=None
+) -> EmResult:
     """Mesh-sharded EM: one padded batch, reads over dp, trials over
     the trial axis (parallel/sharded_em)."""
     import jax
@@ -375,6 +456,11 @@ def _em_train_sharded(kept, opts: EmOptions) -> EmResult:
     model, trial_models, traces = sharded_em_train(
         batch,
         mesh,
+        flank_correction=(
+            _sum_flank_corrections(corr_pairs, opts.window_pad)
+            if corr_pairs
+            else None
+        ),
         trials=opts.trials,
         iterations=opts.iterations,
         seed=opts.seed,
@@ -382,7 +468,9 @@ def _em_train_sharded(kept, opts: EmOptions) -> EmResult:
         weights=weights,
         checkpoint_path=opts.checkpoint_path,
         checkpoint_every=opts.checkpoint_every,
-        fingerprint=em_fingerprint(kept, opts, sharded=True),
+        fingerprint=em_fingerprint(
+            fingerprint_pairs or kept, opts, sharded=True
+        ),
         pseudocount=opts.pseudocount,
     )
     return EmResult(

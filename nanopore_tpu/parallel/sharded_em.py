@@ -58,12 +58,26 @@ def em_train_step(
     band_width: int,
     pseudocount: float = 1e-6,
     remat_segment: int = 512,
+    corr_t=None,  # (T, 5, 5) analytic flank corrections (align.flank)
+    corr_e=None,  # (T, 5, 16)
+    corr_ll=None,  # (T,)
 ):
     """One EM iteration for all trials.  Returns (new_t, new_e, loglik(T,)).
 
     The E-step uses the checkpointed/rematerialised backward — no O(K)
-    stored lattice per read, so DP shards stay small in HBM.
+    stored lattice per read, so DP shards stay small in HBM.  The
+    ``corr_*`` tensors carry the host-computed analytic flank
+    contributions of windowed global pairs (align.flank) and are added
+    to the expectation sums before the M-step.
     """
+
+    T = transitions.shape[0]
+    if corr_t is None:
+        corr_t = jnp.zeros((T, 5, 5), jnp.float32)
+    if corr_e is None:
+        corr_e = jnp.zeros((T, 5, 16), jnp.float32)
+    if corr_ll is None:
+        corr_ll = jnp.zeros((T,), jnp.float32)
 
     def one_pair(params, *elem):
         out = _em_expectations_single(
@@ -71,15 +85,15 @@ def em_train_step(
         )
         return out["trans"], out["emis"], out["loglik"]
 
-    def one_trial(t, e):
+    def one_trial(t, e, ct, ce, cll):
         params = kernel_tables(t, e)
         trans_b, emis_b, ll_b = jax.vmap(
             lambda *elem: one_pair(params, *elem)
         )(xc, yc, xn, yn, offsets, m, n, k_end)
         w = weights[:, None, None]
-        trans = (trans_b * w).sum(axis=0)
-        emis = (emis_b * w).sum(axis=0)
-        loglik = (ll_b * weights).sum()
+        trans = (trans_b * w).sum(axis=0) + ct
+        emis = (emis_b * w).sum(axis=0) + ce
+        loglik = (ll_b * weights).sum() + cll
         # M-step preserving the transition sparsity structure
         structure = (t > 0).astype(trans.dtype)
         new_t = trans * structure + pseudocount * structure
@@ -88,7 +102,9 @@ def em_train_step(
         new_e = new_e / jnp.maximum(new_e.sum(axis=1, keepdims=True), 1e-30)
         return new_t, new_e, loglik
 
-    return jax.vmap(one_trial)(transitions, emissions)
+    return jax.vmap(one_trial)(
+        transitions, emissions, corr_t, corr_e, corr_ll
+    )
 
 
 def make_sharded_em_step(mesh, band_width: int, pseudocount: float = 1e-6):
@@ -109,11 +125,22 @@ def make_sharded_em_step(mesh, band_width: int, pseudocount: float = 1e-6):
             )
         return jax.device_put(arr, sharding)
 
-    def step(trial_models, batch_arrays):
+    def step(trial_models, batch_arrays, corrections=None):
         t, e = trial_models
         xc, yc, xn, yn, offsets, m, n, k_end, w = batch_arrays
+        T = t.shape[0]
+        if corrections is None:
+            corrections = (
+                np.zeros((T, 5, 5), np.float32),
+                np.zeros((T, 5, 16), np.float32),
+                np.zeros((T,), np.float32),
+            )
+        ct, ce, cll = corrections
         t = put(t, trial_s)
         e = put(e, trial_s)
+        ct = put(np.asarray(ct, np.float32), trial_s)
+        ce = put(np.asarray(ce, np.float32), trial_s)
+        cll = put(np.asarray(cll, np.float32), trial_s)
         xc = put(xc, dp_s)
         yc = put(yc, dp_s)
         xn = put(xn, dp_s)
@@ -125,7 +152,7 @@ def make_sharded_em_step(mesh, band_width: int, pseudocount: float = 1e-6):
         w = put(w, dp_s)
         out = em_train_step(
             t, e, xc, yc, xn, yn, offsets, m, n, k_end, w, band_width,
-            pseudocount=pseudocount,
+            pseudocount=pseudocount, corr_t=ct, corr_e=ce, corr_ll=cll,
         )
         if multiproc:
             from jax.experimental import multihost_utils
@@ -212,7 +239,10 @@ def make_sharded_em_step_pallas(
     w_d = put(w, P(DP_AXIS))
     ggmg_d = put(ggmg, P())
 
-    def _body(tf, emf, egf, tstack, kend_l, xyc_l, w_l, ggmg_l):
+    def _body(
+        tf, emf, egf, tstack, ct_l, ce_l, cll_l, kend_l, xyc_l, w_l,
+        ggmg_l,
+    ):
         T_local = tf.shape[0]
         outs_t, outs_e, outs_ll = [], [], []
         for j in range(T_local):
@@ -224,9 +254,9 @@ def make_sharded_em_step_pallas(
             trans = (out["trans"] * wl[:, None, None]).sum(axis=0)
             emis = (out["emis"] * wl[:, None, None]).sum(axis=0)
             ll = (out["loglik"] * wl).sum()
-            trans = lax.psum(trans, DP_AXIS)
-            emis = lax.psum(emis, DP_AXIS)
-            ll = lax.psum(ll, DP_AXIS)
+            trans = lax.psum(trans, DP_AXIS) + ct_l[j]
+            emis = lax.psum(emis, DP_AXIS) + ce_l[j]
+            ll = lax.psum(ll, DP_AXIS) + cll_l[j]
             structure = (tstack[j] > 0).astype(trans.dtype)
             new_t = trans * structure + pseudocount * structure
             new_t = new_t / jnp.maximum(
@@ -250,16 +280,24 @@ def make_sharded_em_step_pallas(
         mesh=mesh,
         in_specs=(
             P(TRIAL_AXIS), P(TRIAL_AXIS), P(TRIAL_AXIS), P(TRIAL_AXIS),
+            P(TRIAL_AXIS), P(TRIAL_AXIS), P(TRIAL_AXIS),
             P(DP_AXIS), P(DP_AXIS), P(DP_AXIS), P(),
         ),
         out_specs=(P(TRIAL_AXIS), P(TRIAL_AXIS), P(TRIAL_AXIS)),
         check_vma=False,
     )
 
-    def step(trial_models, _arrays_ignored=None):
+    def step(trial_models, _arrays_ignored=None, corrections=None):
         t, e = trial_models
         T = t.shape[0]
         assert T % tr == 0, "trials must divide the trial mesh axis"
+        if corrections is None:
+            corrections = (
+                np.zeros((T, 5, 5), np.float32),
+                np.zeros((T, 5, 16), np.float32),
+                np.zeros((T,), np.float32),
+            )
+        ct, ce, cll = corrections
         scal = [
             _param_scalars(
                 kernel_tables(
@@ -273,7 +311,13 @@ def make_sharded_em_step_pallas(
         emf = put(np.stack([s[1] for s in scal]), P(TRIAL_AXIS))
         egf = put(np.stack([s[2] for s in scal]), P(TRIAL_AXIS))
         ts = put(np.asarray(t, np.float32), P(TRIAL_AXIS))
-        out = sharded(tf, emf, egf, ts, kend_d, xyc_d, w_d, ggmg_d)
+        ct_d = put(np.asarray(ct, np.float32), P(TRIAL_AXIS))
+        ce_d = put(np.asarray(ce, np.float32), P(TRIAL_AXIS))
+        cll_d = put(np.asarray(cll, np.float32), P(TRIAL_AXIS))
+        out = sharded(
+            tf, emf, egf, ts, ct_d, ce_d, cll_d, kend_d, xyc_d, w_d,
+            ggmg_d,
+        )
         if multiproc:
             from jax.experimental import multihost_utils
 
@@ -301,8 +345,16 @@ def sharded_em_train(
     checkpoint_every: int = 10,
     fingerprint: dict | None = None,
     pseudocount: float = 1e-6,
+    flank_correction=None,
 ) -> tuple[PairHmmModel, list[PairHmmModel], list[list[float]]]:
     """Multi-trial EM over a prepared batch on a device mesh.
+
+    ``flank_correction``: optional callable
+    ``(transitions (5,5) f64, emissions (5,16) f64) -> (ct, ce, cll)``
+    returning the summed analytic flank contributions of windowed
+    global pairs under that model (align.flank.em_flank_correction);
+    evaluated per trial per iteration on the host and added to the
+    psum'd expectations before the on-device M-step.
 
     Returns (best model, all per-trial models, per-trial running
     likelihoods) — matching the non-mesh path's trial statistics so the
@@ -366,7 +418,26 @@ def sharded_em_train(
         final_t = np.asarray(ck["final_t"], np.float64).copy()
         final_e = np.asarray(ck["final_e"], np.float64).copy()
     for it in range(start_iter, iterations):
-        t_new, e_new, ll = step((t, e), arrays)
+        corrections = None
+        if flank_correction is not None:
+            per = [
+                flank_correction(
+                    np.asarray(t[j], np.float64),
+                    np.asarray(e[j], np.float64),
+                )
+                for j in range(trials)
+            ]
+            corrections = (
+                np.stack([c[0] for c in per]),
+                np.stack([c[1] for c in per]),
+                np.array([c[2] for c in per]),
+            )
+        if corrections is None:
+            t_new, e_new, ll = step((t, e), arrays)
+        else:
+            t_new, e_new, ll = step(
+                (t, e), arrays, corrections=corrections
+            )
         ll = np.asarray(ll, np.float64)
         t, e = np.asarray(t_new), np.asarray(e_new)
         for j in range(trials):

@@ -12,6 +12,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <cmath>
 #include <vector>
 
 extern "C" {
@@ -200,5 +201,128 @@ void seedchain_chain_dp(
     }
   }
 }
+
+}  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// EM flank corridor: exact forward/backward expected counts over a
+// pure-deletion corridor (nanopore_tpu.align.flank).  State order per
+// align.model: 0=match, 1=shortDelete, 2=shortInsert, 3=longDelete,
+// 4=longInsert; only the two delete states advance inside a flank, so
+// the banded lattice's flank reduces to this 2-state inhomogeneous
+// chain.  Per-step normalisation: every scale factor cancels in the
+// count ratios, so no global Z bookkeeping is needed for the counts.
+// Mirrors align.flank._corridor_expectations_np exactly (tested
+// against it and against the unbanded oracle at m=0).
+// ---------------------------------------------------------------------
+int seedchain_flank_corridor(
+    const int8_t* x, int64_t F,
+    const double* T,      // 5x5 row-major [from*5 + to]
+    const double* eg,     // 5x5 [state*5 + base]; base 4 = N column
+    const double* entry,  // 5 entry-cell weights
+    double* out_trans,    // 5x5, overwritten
+    double* out_emis,     // 5x16, overwritten
+    double* out_logz) {   // 1, overwritten
+  const int D[2] = {1, 3};
+  std::fill(out_trans, out_trans + 25, 0.0);
+  std::fill(out_emis, out_emis + 80, 0.0);
+  double s0 = 0.0;
+  for (int s = 0; s < 5; ++s) s0 += entry[s];
+  if (F == 0) {
+    *out_logz = std::log(std::max(entry[D[0]] + entry[D[1]], 1e-300));
+    return 0;
+  }
+  double e0[5];
+  double logz = std::log(std::max(s0, 1e-300));
+  for (int s = 0; s < 5; ++s) e0[s] = entry[s] / std::max(s0, 1e-300);
+  // 2x2 corridor transitions, 2x5 corridor emissions
+  double tDD[2][2], egD[2][5];
+  for (int a = 0; a < 2; ++a) {
+    for (int b = 0; b < 2; ++b) tDD[a][b] = T[D[a] * 5 + D[b]];
+    for (int c = 0; c < 5; ++c) egD[a][c] = eg[D[a] * 5 + c];
+  }
+  std::vector<double> f(2 * (F + 1));
+  {  // k = 1: entry over all 5 states
+    int xb = x[0] >= 4 || x[0] < 0 ? 4 : x[0];
+    double raw[2];
+    for (int d = 0; d < 2; ++d) {
+      double acc = 0.0;
+      for (int s = 0; s < 5; ++s) acc += e0[s] * T[s * 5 + D[d]];
+      raw[d] = acc * egD[d][xb];
+    }
+    double sk = raw[0] + raw[1];
+    if (sk <= 0.0) { *out_logz = -1e300; return 1; }
+    f[2] = raw[0] / sk;
+    f[3] = raw[1] / sk;
+    logz += std::log(sk);
+  }
+  for (int64_t k = 2; k <= F; ++k) {
+    int xb = x[k - 1] >= 4 || x[k - 1] < 0 ? 4 : x[k - 1];
+    double raw[2];
+    for (int d = 0; d < 2; ++d) {
+      raw[d] = (f[2 * (k - 1)] * tDD[0][d] + f[2 * (k - 1) + 1] * tDD[1][d]) *
+               egD[d][xb];
+    }
+    double sk = raw[0] + raw[1];
+    if (sk <= 0.0) { *out_logz = -1e300; return 1; }
+    f[2 * k] = raw[0] / sk;
+    f[2 * k + 1] = raw[1] / sk;
+    logz += std::log(sk);
+  }
+  logz += std::log(std::max(f[2 * F] + f[2 * F + 1], 1e-300));
+
+  double b[2] = {1.0, 1.0};
+  for (int64_t k = F; k >= 1; --k) {
+    int xraw = x[k - 1];
+    int xb = xraw >= 4 || xraw < 0 ? 4 : xraw;
+    // occupancy of cell k (consumed x[k-1]); N bases emit nothing
+    double occ0 = f[2 * k] * b[0], occ1 = f[2 * k + 1] * b[1];
+    double zd = occ0 + occ1;
+    if (zd > 0.0 && xraw >= 0 && xraw < 4) {
+      double g0 = occ0 / zd / 4.0, g1 = occ1 / zd / 4.0;
+      for (int j = 0; j < 4; ++j) {
+        out_emis[D[0] * 16 + xraw * 4 + j] += g0;
+        out_emis[D[1] * 16 + xraw * 4 + j] += g1;
+      }
+    }
+    if (k == 1) {  // transitions from the 5-state entry cell
+      double w[5][2];
+      double den = 0.0;
+      for (int s = 0; s < 5; ++s)
+        for (int d = 0; d < 2; ++d) {
+          w[s][d] = e0[s] * T[s * 5 + D[d]] * egD[d][xb] * b[d];
+          den += w[s][d];
+        }
+      if (den > 0.0)
+        for (int s = 0; s < 5; ++s)
+          for (int d = 0; d < 2; ++d)
+            out_trans[s * 5 + D[d]] += w[s][d] / den;
+      break;
+    }
+    double w[2][2];
+    double den = 0.0;
+    for (int s = 0; s < 2; ++s)
+      for (int d = 0; d < 2; ++d) {
+        w[s][d] = f[2 * (k - 1) + s] * tDD[s][d] * egD[d][xb] * b[d];
+        den += w[s][d];
+      }
+    if (den > 0.0)
+      for (int s = 0; s < 2; ++s)
+        for (int d = 0; d < 2; ++d)
+          out_trans[D[s] * 5 + D[d]] += w[s][d] / den;
+    double braw[2];
+    for (int s = 0; s < 2; ++s)
+      braw[s] = tDD[s][0] * egD[0][xb] * b[0] + tDD[s][1] * egD[1][xb] * b[1];
+    double sb = braw[0] + braw[1];
+    if (sb <= 0.0) { *out_logz = -1e300; return 1; }
+    b[0] = braw[0] / sb;
+    b[1] = braw[1] / sb;
+  }
+  *out_logz = logz;
+  return 0;
+}
+
 
 }  // extern "C"

@@ -90,6 +90,13 @@ def get_lib():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_double,
             ctypes.c_double, f64p, i64p,
         ]
+        try:  # newer entry point; a stale .so just loses the fast path
+            lib.seedchain_flank_corridor.restype = ctypes.c_int
+            lib.seedchain_flank_corridor.argtypes = [
+                i8p, ctypes.c_int64, f64p, f64p, f64p, f64p, f64p, f64p,
+            ]
+        except AttributeError:  # pragma: no cover - stale binary
+            pass
         _lib = lib
         logger.info("native seedchain runtime loaded: %s", _SO)
     return _lib
@@ -173,3 +180,24 @@ def chain_dp(q_start, q_end, r_start, r_end, lengths, max_ref_gap,
         max_ref_gap, max_diag_drift, gap_open, gap_scale, score, parent,
     )
     return score, parent
+
+
+def flank_corridor(x, t, eg, entry):
+    """Exact pure-deletion corridor EM counts (align.flank), native.
+
+    Returns (trans (5,5), emis (5,16), logz) or None when the native
+    library (or this entry point) is unavailable — callers fall back to
+    the NumPy reference implementation.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "seedchain_flank_corridor"):
+        return None
+    x = np.ascontiguousarray(x, np.int8)
+    t = np.ascontiguousarray(t, np.float64)
+    eg = np.ascontiguousarray(eg, np.float64)
+    entry = np.ascontiguousarray(entry, np.float64)
+    trans = np.zeros(25, np.float64)
+    emis = np.zeros(80, np.float64)
+    logz = np.zeros(1, np.float64)
+    lib.seedchain_flank_corridor(x, len(x), t, eg, entry, trans, emis, logz)
+    return trans.reshape(5, 5), emis.reshape(5, 16), float(logz[0])

@@ -486,3 +486,110 @@ class TestEmitExp:
                 np.testing.assert_allclose(
                     got[b], want[b], rtol=1e-3, atol=2e-3
                 )
+
+
+class TestPhaseBPaths:
+    """Both phase-B implementations must stay bit-identical: store_fwd
+    (phase A streams its forward states to HBM, auto-on for small
+    lattices) and the remat fallback (recomputes them, the production
+    path past the ~6 GB state budget).  VERDICT r4 #3: the remat branch
+    previously had no CI coverage at all."""
+
+    def _mixed_pairs(self, rng):
+        pairs = []
+        x0 = rng.integers(0, 4, 14).astype(np.int8)
+        y0 = x0.copy()
+        y0[[2, 7]] = (y0[[2, 7]] + 1) % 4
+        pairs.append((x0, y0, [(CIG.M, 14)]))
+        x1 = rng.integers(0, 4, 14).astype(np.int8)
+        pairs.append(
+            (x1, x1[:9].copy(), [(CIG.M, 4), (CIG.D, 5), (CIG.M, 5)])
+        )
+        x2 = rng.integers(0, 4, 10).astype(np.int8)
+        y2 = np.concatenate(
+            [x2[:5], rng.integers(0, 4, 4).astype(np.int8), x2[5:]]
+        )
+        pairs.append((x2, y2, [(CIG.M, 5), (CIG.I, 4), (CIG.M, 5)]))
+        return pairs
+
+    @pytest.mark.parametrize(
+        "emit", ["em", "decode", "gamma", "exp"]
+    )
+    def test_store_and_remat_bit_identical(
+        self, params, monkeypatch, emit
+    ):
+        from nanopore_tpu.ops.pairhmm_pallas_realign import (
+            PallasRealignPlan,
+        )
+
+        rng = np.random.default_rng(23)
+        batch = prepare_banded_batch(
+            self._mixed_pairs(rng), band_width=8
+        )
+        outs = {}
+        for mode in ("1", "0"):
+            monkeypatch.setenv("NANOPORE_TPU_STORE_FWD", mode)
+            plan = PallasRealignPlan(
+                batch,
+                params,
+                emit_gamma=(emit == "gamma"),
+                emit_em=(emit == "em"),
+                emit_exp=(emit == "exp"),
+            )
+            assert plan.store_fwd == (mode == "1")
+            outs[mode] = {
+                k: np.asarray(v) for k, v in plan.run(interpret=True).items()
+            }
+        assert set(outs["1"]) == set(outs["0"])
+        for k in outs["1"]:
+            if k == "gamma_raw":
+                # the gamma stream multiplies fwd*bwd in a different
+                # association order between the two paths (loaded vs
+                # recomputed forward states) — ulp-level f32 drift on
+                # a handful of cells; everything else is bit-identical
+                np.testing.assert_allclose(
+                    outs["1"][k], outs["0"][k], rtol=1e-6, atol=1e-12,
+                    err_msg="output %r" % k,
+                )
+            else:
+                np.testing.assert_array_equal(
+                    outs["1"][k], outs["0"][k], err_msg="output %r" % k
+                )
+
+    def test_max_k_fallback_to_xla(self, params, monkeypatch, caplog):
+        """k_max past NANOPORE_TPU_PALLAS_MAX_K must fall back to the
+        XLA scan (not OOM the chip) and produce the same results."""
+        import logging
+
+        from nanopore_tpu.ops.dispatch import (
+            PreparedRealign,
+            prepared_from_pairs,
+        )
+        from nanopore_tpu.ops.mea import traceback_cigars_batch
+
+        rng = np.random.default_rng(31)
+        pairs = uniform_pairs(rng, 2, 14)
+        monkeypatch.setenv("NANOPORE_TPU_KERNEL", "pallas")
+        monkeypatch.setenv("NANOPORE_TPU_PALLAS_MAX_K", "8")
+        with caplog.at_level(logging.WARNING):
+            prep = prepared_from_pairs(
+                {}, pairs, params, band_width=8,
+                prepared_cls=PreparedRealign,
+            )
+        assert prep._plan is None, "expected the XLA fallback"
+        assert any("pallas kernel skipped" in r.message for r in caplog.records)
+        logliks, cigars, _ = prep.decode()
+
+        monkeypatch.delenv("NANOPORE_TPU_KERNEL")
+        monkeypatch.delenv("NANOPORE_TPU_PALLAS_MAX_K")
+        batch = prepare_banded_batch(pairs, band_width=8)
+        want = realign_fused(batch, params, segment_size=8)
+        np.testing.assert_allclose(
+            logliks, np.asarray(want["loglik"], np.float64), rtol=1e-5
+        )
+        offsets = np.asarray(batch.offsets)
+        for b, (x, y, _) in enumerate(pairs):
+            want_cig = mea_traceback_fwd(
+                np.asarray(want["dirs"])[b], offsets[b], len(y), len(x)
+            )
+            assert cigar_to_string(cigars[b]) == cigar_to_string(want_cig)

@@ -120,3 +120,70 @@ class TestVariantTable:
         assert "sidewaystable" in text
         assert "50.00" in text  # 0.5 -> percent
         assert "\\end{document}" in text
+
+
+class TestMappabilityPlots:
+    def test_layout_is_a_permutation(self):
+        from nanopore_tpu.scripts.mappability_plots import flowcell_layout
+
+        lay = flowcell_layout()
+        assert lay.shape == (32, 16)
+        assert sorted(lay.flatten().tolist()) == list(range(1, 513))
+        # spot-check entries of the R table (mappability_plots.R:5-36)
+        assert lay[0, 0] == 125 and lay[0, 15] == 512
+        assert lay[31, 0] == 1 and lay[31, 4] == 129
+
+    def test_renders_pdf(self, tmp_path):
+        from nanopore_tpu.scripts import mappability_plots as mp
+
+        rng = np.random.default_rng(0)
+        tsvs = []
+        for i in range(2):
+            p = tmp_path / ("chan%d.tsv" % i)
+            with open(p, "w") as fh:
+                fh.write("Channel\tReadCount\tMappableReadCount\n")
+                for ch in range(1, 513):
+                    t = int(rng.integers(0, 20))
+                    fh.write("%d\t%d\t%d\n" % (ch, t, rng.integers(0, t + 1)))
+            tsvs.append(("run%d" % i, str(p)))
+        out = str(tmp_path / "mapp.pdf")
+        assert mp.main([out] + ["%s=%s" % lp for lp in tsvs]) == 0
+        assert os.path.getsize(out) > 1000
+
+
+class TestScatterPlots:
+    def test_summary_scatter(self, tmp_path):
+        from nanopore_tpu.scripts import scatter_plots as sp
+
+        p = tmp_path / "summary.tsv"
+        with open(p, "w") as fh:
+            fh.write("AvgInsert\tAvgDelete\tavgMismatch\n")
+            for i in range(6):
+                fh.write("exp%d\t%.3f\t%.3f\t%.3f\n"
+                         % (i, 0.01 * i, 0.02 * i, 0.03 + 0.001 * i))
+        out = str(tmp_path / "scatter.pdf")
+        assert sp.main(["summary", str(p), out]) == 0
+        assert os.path.getsize(out) > 500
+
+    @pytest.mark.parametrize("trends", [True, False])
+    def test_combined(self, tmp_path, trends):
+        from nanopore_tpu.scripts import scatter_plots as sp
+
+        rng = np.random.default_rng(1)
+        n = 200
+        length = rng.integers(500, 20000, n).astype(float)
+        ident = np.clip(0.9 - length / 1e5 + rng.normal(0, 0.02, n), 0, 1)
+        p = tmp_path / "dist.txt"
+        with open(p, "w") as fh:
+            for name, vals in [
+                ("length", length),
+                ("identity", ident),
+                ("mismatches", rng.uniform(0, 0.1, n)),
+                ("insertions", rng.uniform(0, 0.05, n)),
+                ("deletions", rng.uniform(0, 0.08, n)),
+            ]:
+                fh.write(name + " " + " ".join("%.5f" % v for v in vals) + "\n")
+        out = str(tmp_path / "combined.pdf")
+        args = ["combined", str(p), out] + ([] if trends else ["--no-trends"])
+        assert sp.main(args) == 0
+        assert os.path.getsize(out) > 1000
