@@ -94,6 +94,74 @@ def window_global_pair(
     return ref_codes[j0:j1], guide, j0, j1
 
 
+def split_window_pair(
+    x: np.ndarray,
+    y: np.ndarray,
+    guide: list[tuple[int, int]],
+    max_k: int,
+    margin: int = 2048,
+) -> list[tuple[int, int, int, int, list[tuple[int, int]]]]:
+    """Split an over-budget window pair at guide anchors.
+
+    The reference bounds every realign DP with
+    ``--splitMatrixBiggerThanThis=3000`` — cactus splits the matrix at
+    confident aligned pairs into independently-processed blocks
+    (/root/reference/nanopore/analyses/utils.py:587).  This is the
+    banded equivalent for lattices whose diagonal count (n + m) exceeds
+    the Pallas kernel's HBM stream budget
+    (ops.dispatch.pallas_max_k): cut inside long M runs of the guide —
+    each cut point is an anchor (x_j, y_i) the guide aligns — so each
+    segment is a self-contained global alignment over (x-slice,
+    y-slice) and the segment cigars CONCATENATE into a cigar consuming
+    the whole window.  Keeps the ~4-7x Pallas advantage on ultra-long
+    reads instead of dropping to the XLA scan (VERDICT r4 #4).
+
+    Returns ``[(j0, j1, i0, i1, guide_seg), ...]`` covering the window
+    exactly; a single element = no split needed.
+    """
+    n, m = len(x), len(y)
+    if n + m <= max_k:
+        return [(0, n, 0, m, list(guide))]
+    from nanopore_tpu.io.sam import CIG as _C
+
+    budget = max_k - min(margin, max_k // 8)
+    assert budget > 2, "split budget too small"
+    segs: list[tuple[int, int, int, int, list]] = []
+    j = i = 0  # window-absolute consumed so far
+    seg_j0, seg_i0 = 0, 0
+    seg: list[tuple[int, int]] = []
+
+    def seg_cells():
+        return (j - seg_j0) + (i - seg_i0)
+
+    for op, length in guide:
+        while length > 0:
+            dx = 1 if op in (_C.M, _C.D, _C.N) else 0
+            dy = 1 if op in (_C.M, _C.I) else 0
+            room = budget - seg_cells()
+            step = min(length, max(1, room // max(dx + dy, 1)))
+            seg.append((op, step))
+            j += dx * step
+            i += dy * step
+            length -= step
+            if seg_cells() >= budget:
+                # cut HERE: at an M cell this is an anchor; at a gap
+                # run boundary the segments still chain exactly (the
+                # path must pass through (j, i) by construction of a
+                # banded global alignment).  An empty trailing segment
+                # (cut landing exactly on the window end) is dropped
+                # below.
+                segs.append((seg_j0, j, seg_i0, i, seg))
+                seg_j0, seg_i0 = j, i
+                seg = []
+    if seg or not segs:
+        segs.append((seg_j0, j, seg_i0, i, seg))
+    assert j == n and i == m, "split must consume the window"
+    # drop empty trailing segments (possible when the guide ends on a
+    # cut boundary)
+    return [s for s in segs if s[4]]
+
+
 def splice_window_cigar(
     cigar: list[tuple[int, int]], j0: int, j1: int, n: int
 ) -> list[tuple[int, int]]:
@@ -164,10 +232,34 @@ def realign_records(
     # window each global record to its aligned ref span (the banded
     # --splitMatrixBiggerThanThis analogue: flanking pure-D runs cost a
     # diagonal per ref base for zero aligned-pair information), then
-    # bucket by padded WINDOW shapes to bound recompiles
+    # bucket by padded WINDOW shapes to bound recompiles.  Windows
+    # whose lattice exceeds the Pallas HBM stream budget are SPLIT at
+    # guide anchors (split_window_pair) so ultra-long reads stay on
+    # the fast kernel instead of the XLA fallback; their segment
+    # cigars concatenate exactly.
+    import os
+
+    from nanopore_tpu.ops.dispatch import pallas_max_k
+
+    if rescore:
+        split_budget = None  # rescore paths stay unsplit (window-small)
+    elif os.environ.get("NANOPORE_TPU_SPLIT_K"):
+        # explicit override (tests exercise the split + stitch on the
+        # XLA path without a TPU)
+        split_budget = int(os.environ["NANOPORE_TPU_SPLIT_K"])
+    elif (
+        kernel_choice() == "pallas"
+        and band_width in _PALLAS_BAND_WIDTHS
+    ):
+        split_budget = pallas_max_k()
+    else:
+        split_budget = None
     ref_codes = {name: encode(seq) for name, seq in ref_seqs.items()}
     windows: list[tuple[int, int, list]] = []
-    buckets: dict[tuple[int, int], list[int]] = {}
+    # unit = (record idx, part idx, ref j0/j1 and read i0/i1 WINDOW-
+    # relative, segment guide); single-part units are the common case
+    units: list[tuple[int, int, int, int, int, int, list]] = []
+    n_parts: list[int] = []
     for idx, rec in enumerate(records):
         assert rec.pos == 0, "realign requires chained global records"
         _, guide, j0, j1 = window_global_pair(
@@ -175,9 +267,22 @@ def realign_records(
         )
         windows.append((j0, j1, guide))
         m = len(rec.seq)
+        if split_budget is not None and (j1 - j0) + m > split_budget:
+            y = encode(rec.seq)
+            segs = split_window_pair(
+                ref_codes[rec.rname][j0:j1], y, guide, split_budget
+            )
+        else:
+            segs = [(0, j1 - j0, 0, m, guide)]
+        n_parts.append(len(segs))
+        for part, (sj0, sj1, si0, si1, sg) in enumerate(segs):
+            units.append((idx, part, sj0, sj1, si0, si1, sg))
+
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for u, (idx, part, sj0, sj1, si0, si1, sg) in enumerate(units):
         buckets.setdefault(
-            (_next_pow2(j1 - j0), _next_pow2(m)), []
-        ).append(idx)
+            (_next_pow2(sj1 - sj0), _next_pow2(si1 - si0)), []
+        ).append(u)
 
     # single-process data parallelism: round-robin batches over the
     # local chips (each PreparedRealign is committed to its device and
@@ -200,11 +305,16 @@ def realign_records(
         of several batches overlap each other and the consumer."""
         sub, (n_pad, m_pad) = desc
         pairs = []
-        for idx in sub:
+        for u in sub:
+            idx, part, sj0, sj1, si0, si1, sg = units[u]
             rec = records[idx]
-            j0, j1, guide = windows[idx]
+            j0, j1, _ = windows[idx]
             pairs.append(
-                (ref_codes[rec.rname][j0:j1], encode(rec.seq), guide)
+                (
+                    ref_codes[rec.rname][j0 + sj0 : j0 + sj1],
+                    encode(rec.seq)[si0:si1],
+                    sg,
+                )
             )
         if rescore and not pallas_rescore:
             return sub, prepare_banded_batch(
@@ -231,6 +341,34 @@ def realign_records(
 
     from nanopore_tpu.runtime.prefetch import prefetched_map
 
+    # multi-part records stitch once every part's cigar has decoded
+    # (part cigars concatenate exactly — each cut is a lattice point
+    # both segments pass through)
+    pending: dict[int, list] = {}
+
+    def finish(idx: int, part: int, cigar) -> None:
+        j0, j1, _ = windows[idx]
+        if n_parts[idx] == 1:
+            records[idx].cigar = splice_window_cigar(
+                cigar, j0, j1, len(ref_codes[records[idx].rname])
+            )
+            return
+        parts = pending.setdefault(idx, [None] * n_parts[idx])
+        parts[part] = cigar
+        if any(c is None for c in parts):
+            return
+        full: list[tuple[int, int]] = []
+        for c in parts:
+            for op, length in c:
+                if full and full[-1][0] == op:
+                    full[-1] = (op, full[-1][1] + length)
+                else:
+                    full.append((op, length))
+        records[idx].cigar = splice_window_cigar(
+            full, j0, j1, len(ref_codes[records[idx].rname])
+        )
+        del pending[idx]
+
     for sub, prepared in prefetched_map(
         build, batch_descriptors(), depth=max(2, len(devices) + 1)
     ):
@@ -247,11 +385,9 @@ def realign_records(
             res = rescore_from_post(
                 fused, np.asarray(batch.offsets), cigars, band_width
             )
-            for b, idx in enumerate(sub):
-                j0, j1, _ = windows[idx]
-                records[idx].cigar = splice_window_cigar(
-                    cigars[b], j0, j1, len(ref_codes[records[idx].rname])
-                )
+            for b, u in enumerate(sub):
+                idx, part = units[u][0], units[u][1]
+                finish(idx, part, cigars[b])
                 scores[idx] = res[b]
         elif rescore:
             offs_np = np.asarray(batch.offsets)
@@ -263,16 +399,12 @@ def realign_records(
             )
             dirs_np = np.asarray(dirs)
             gm_np = np.asarray(fb["gamma_match"])
-            for b, idx in enumerate(sub):
-                rec = records[idx]
-                j0, j1, _ = windows[idx]
-                m = len(rec.seq)
+            for b, u in enumerate(sub):
+                idx, part, sj0, sj1, si0, si1, _ = units[u]
                 new_cigar = mea_traceback(
-                    dirs_np[b], offs_np[b], m, j1 - j0
+                    dirs_np[b], offs_np[b], si1 - si0, sj1 - sj0
                 )
-                rec.cigar = splice_window_cigar(
-                    new_cigar, j0, j1, len(ref_codes[rec.rname])
-                )
+                finish(idx, part, new_cigar)
                 scores[idx] = rescore_by_posterior(
                     gm_np[b], offs_np[b], new_cigar
                 )
@@ -284,11 +416,9 @@ def realign_records(
             # direction layout) — only the per-diagonal op matrix
             # crosses to the host, not the direction bands.
             _, cigars, _ = prepared.decode()
-            for b, idx in enumerate(sub):
-                j0, j1, _ = windows[idx]
-                records[idx].cigar = splice_window_cigar(
-                    cigars[b], j0, j1, len(ref_codes[records[idx].rname])
-                )
+            for b, u in enumerate(sub):
+                finish(units[u][0], units[u][1], cigars[b])
+    assert not pending, "all split parts must have decoded"
     return scores if rescore else []
 
 

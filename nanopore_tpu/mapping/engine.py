@@ -33,6 +33,42 @@ from nanopore_tpu.ops.dispatch import (
 )
 
 
+class StageStats:
+    """Cumulative per-stage host cost of the mapping pipeline.
+
+    Thread-safe accumulator (the stages run concurrently on worker
+    pools, so per-stage seconds are CPU-thread seconds — they can sum
+    past wall time; ``wall`` is the map_fastq wall clock).  Cost: two
+    perf_counter calls per stage call — noise against the
+    milliseconds-per-batch stages being measured.  Snapshot with
+    ``dict(engine.stage_stats)``.
+    """
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self.seconds: dict[str, float] = {}
+        self.calls: dict[str, int] = {}
+
+    def add(self, stage: str, dt: float) -> None:
+        with self._lock:
+            self.seconds[stage] = self.seconds.get(stage, 0.0) + dt
+            self.calls[stage] = self.calls.get(stage, 0) + 1
+
+    def reset(self) -> None:
+        with self._lock:
+            self.seconds.clear()
+            self.calls.clear()
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            return {
+                k: {"seconds": round(v, 4), "calls": self.calls[k]}
+                for k, v in sorted(self.seconds.items())
+            }
+
+
 def _next_pow2(x: int) -> int:
     return 1 << max(6, (x - 1).bit_length())
 
@@ -121,6 +157,7 @@ class MappingEngine:
 
         self._devices = local_dp_devices()
         self._batch_counter = itertools.count()
+        self.stage_stats = StageStats()
 
     # ------------------------------------------------------------------ #
     def _candidates_for_read(
@@ -378,8 +415,11 @@ class MappingEngine:
         self, sub, prep, quals
     ) -> list[tuple[_Candidate, SamRecord, float]]:
         """Kernel + traceback + record construction for a prepared batch."""
+        import time
+
         cfg = self.config
         cigars: list[list[tuple[int, int]]] = []
+        t0 = time.perf_counter()
         if cfg.decode == "viterbi":
             # single-pass max-product decode: Pallas kernel on TPU, XLA
             # scan elsewhere; backpointers walked on device
@@ -390,11 +430,14 @@ class MappingEngine:
             # (Pallas on TPU, XLA scan elsewhere).  Traceback runs on
             # device too — the direction bands never cross to the host.
             logliks, cigars, _ = prep.decode()
+        t1 = time.perf_counter()
+        self.stage_stats.add("decode_wait", t1 - t0)
         out = []
         for b, (c, cigar) in enumerate(zip(sub, cigars)):
             rec = self._record_from_window_cigar(c, cigar, quals)
             if rec is not None:
                 out.append((c, rec, float(logliks[b])))
+        self.stage_stats.add("record_build", time.perf_counter() - t1)
         return out
 
     def _record_from_window_cigar(
@@ -465,6 +508,8 @@ class MappingEngine:
         host maps its strided FASTQ shard, host 0 merges —
         parallel.distributed.merge_sam_shards).
         """
+        import time
+
         from nanopore_tpu.runtime.prefetch import prefetched_map
 
         cfg = self.config
@@ -497,8 +542,17 @@ class MappingEngine:
             """
             bs = preferred_realign_batch_size(cfg.batch_size)
             buckets: dict[tuple, list[_Candidate]] = {}
+
+            def seed_one(it):
+                t0 = time.perf_counter()
+                out = self._candidates_for_read(*it)
+                self.stage_stats.add(
+                    "seed_chain", time.perf_counter() - t0
+                )
+                return out
+
             for cands in prefetched_map(
-                lambda it: self._candidates_for_read(*it),
+                seed_one,
                 reads_stream(),
                 depth=4 * bs,
             ):
@@ -520,9 +574,14 @@ class MappingEngine:
             pool: with N workers, N batches run their host stages in
             parallel while their kernels overlap on device — the main
             thread only collects, so no stage serialises on it."""
+            t0 = time.perf_counter()
             sub, prep = self._prepare_batch(d[0], d[1])
+            self.stage_stats.add(
+                "pack_launch", time.perf_counter() - t0
+            )
             return self._consume_batch(sub, prep, quals)
 
+        wall0 = time.perf_counter()
         results: list[tuple[_Candidate, SamRecord, float]] = []
         for recs in prefetched_map(
             full_batch,
@@ -531,6 +590,7 @@ class MappingEngine:
         ):
             results.extend(recs)
 
+        t_tail = time.perf_counter()
         by_read: dict[str, list] = {}
         for item in results:
             by_read.setdefault(item[0].name, []).append(item)
@@ -545,4 +605,7 @@ class MappingEngine:
         with SamWriter(output_sam_path, ref_lengths) as writer:
             for rec in records:
                 writer.write(rec)
+        now = time.perf_counter()
+        self.stage_stats.add("mapq_sort_write", now - t_tail)
+        self.stage_stats.add("wall", now - wall0)
         return len(records)

@@ -663,7 +663,15 @@ class PreparedViterbi:
         self, batch: BandedBatch, params: KernelParams, device=None
     ):
         self._params = params
-        if kernel_choice() == "pallas" and pallas_eligible(batch):
+        from nanopore_tpu.ops.pairhmm_pallas_viterbi import (
+            viterbi_structure_ok,
+        )
+
+        if (
+            kernel_choice() == "pallas"
+            and pallas_eligible(batch)
+            and viterbi_structure_ok(params)
+        ):
             from nanopore_tpu.ops.pairhmm_pallas_viterbi import (
                 PallasViterbiPlan,
             )

@@ -588,8 +588,15 @@ def _realign_kernel(
         d.start()
 
     def bwd_diag_step(k, cur_tile, e_gap1, e_m2, d1n, d1n2, f_hat,
-                      sfinv_next, carry):
+                      sfinv_next, carry, rescale=True):
         """One backward + EM + MEA diagonal.
+
+        ``rescale=False`` skips the 5-plane max-reduction + renormalise
+        (the backward twin of the forward's every-2nd-diagonal scaling
+        schedule): backward magnitudes only shrink (probability
+        products), so one unscaled step stays comfortably inside f32
+        and every scale factor is tracked exactly through ``inv``/
+        ``g_k`` — same gammas to f32 rounding, ~5%% less phase-B work.
 
         ``e_gap1`` = (gx1, gx3, gy2, gy4) remat-cached emissions of
         diagonal k+1 and ``e_m2`` the cached match emission of diagonal
@@ -632,12 +639,18 @@ def _realign_kernel(
         not_end = 1.0 - is_end_f
         new = [x * not_end + end_band * is_end_f for x in new]
 
-        scale = jnp.max(new[0], axis=0, keepdims=True)
-        for s in range(1, NUM_STATES):
-            scale = jnp.maximum(scale, jnp.max(new[s], axis=0, keepdims=True))
-        safe = jnp.where(scale > 0, scale, 1.0)
-        inv = 1.0 / safe
-        new = [x * inv for x in new]
+        if rescale:
+            scale = jnp.max(new[0], axis=0, keepdims=True)
+            for s in range(1, NUM_STATES):
+                scale = jnp.maximum(
+                    scale, jnp.max(new[s], axis=0, keepdims=True)
+                )
+            safe = jnp.where(scale > 0, scale, 1.0)
+            inv = 1.0 / safe
+            new = [x * inv for x in new]
+        else:
+            safe = ones_b
+            inv = ones_b
 
         # ---- EM expectations (gamma itself also feeds the MEA) ----
         factor_trans = g_next * sfinv_next  # (1, BT)
@@ -864,6 +877,10 @@ def _realign_kernel(
                 [fwd_state(kl, st) for st in range(NUM_STATES)],
                 sfinv_next,
                 carry,
+                # every-2nd-diagonal backward rescale (static cadence,
+                # consistent across segment boundaries since SEG is
+                # even and each segment walks SEG-1..0)
+                rescale=(kl % 2 == 0),
             )
             # dirs_buf[slot*SEG + kl] = choice with a TRACED slot is the
             # kernel's only traced-index scratch WRITE; keep stores

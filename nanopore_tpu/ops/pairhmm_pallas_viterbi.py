@@ -22,11 +22,23 @@ zero the one-hots, which here maps to a NEG log-emission (explicit
 per-state validity selects — log space has no zero-mass trick).
 
 Backpointers: per cell, the argmax predecessor STATE of each of the 5
-states; packed base-5 into two int8 planes per diagonal
-(p0 = bM + 5 bD1 + 25 bI1, p1 = bD2 + 5 bI2) and DMA'd out in
-SEG-diagonal blocks like the realign kernel's direction codes.  The
+states, packed into ONE int8 plane per diagonal.  The fiveState
+transition STRUCTURE (each gap state is entered only from match or
+itself — the canonical cactus model, align.model structure zeros)
+means only the match state needs a full 5-way predecessor; each gap
+state needs a single from-match/from-self bit:
+
+    p = bM + 5 * (tD1 + 2 tI1 + 4 tD2 + 8 tI2)   in [0, 80)
+
+Round 4 streamed TWO base-5 planes (p0 = bM + 5 bD1 + 25 bI1,
+p1 = bD2 + 5 bI2); halving the stream halves both this kernel's HBM
+write side and the walker's read side, and drops one of the walker's
+two per-diagonal (W, BT) one-hot contractions (VERDICT r4 #5).
+``viterbi_structure_ok`` guards the assumption; models outside the
+structure take the XLA path.  Backpointers are DMA'd out in
+SEG-diagonal blocks like the realign kernel's direction codes; the
 traceback is a batched on-device scan over descending diagonals
-(viterbi_traceback_batch) — the planes never cross to the host.
+(viterbi_traceback_batch) — the plane never crosses to the host.
 
 Oracle: ops.viterbi._viterbi_scan_single (XLA), itself pinned to the
 pair-HMM semantics of ops/pairhmm_ref.py.
@@ -68,12 +80,12 @@ def _viterbi_kernel(
     # outputs
     score_ref,  # (1, BT) f32
     fstate_ref,  # (1, BT) f32 (argmax state at k_end, cast on host)
-    bp_hbm,  # (NB*(K_pad+1)*2, W, BT) int8: two planes per diagonal
+    bp_hbm,  # (NB*(K_pad+1), W, BT) int8: ONE packed plane per diagonal
     # scratch
     bufA,  # (2*CHUNK, W, BT) int8
     vA,  # (5, W, BT) f32 even-diagonal state (log)
     vB,  # (5, W, BT) f32 odd-diagonal state (log)
-    bp_buf,  # (2*SEG*2, W, BT) int8 staged backpointer planes
+    bp_buf,  # (2*SEG, W, BT) int8 staged backpointer planes
     in_sems,  # DMA (2,)
     out_sems,  # DMA (2,)
     *,
@@ -182,8 +194,16 @@ def _viterbi_kernel(
         # NEG + NEG overflows past -inf representability concerns: clamp
         new = [jnp.maximum(x, NEG) for x in new]
 
-        p0 = (bM + 5.0 * bD1 + 25.0 * bI1).astype(jnp.int8)
-        p1 = (bD2 + 5.0 * bI2).astype(jnp.int8)
+        # single-plane pack: gap-state bps collapse to from-self bits
+        # (structure-guarded at plan build; degenerate all-NEG cells
+        # may carry arbitrary argmaxes but are never on the path)
+        tD1 = jnp.where(bD1 != 0.0, 1.0, 0.0)
+        tI1 = jnp.where(bI1 != 0.0, 1.0, 0.0)
+        tD2 = jnp.where(bD2 != 0.0, 1.0, 0.0)
+        tI2 = jnp.where(bI2 != 0.0, 1.0, 0.0)
+        p = (
+            bM + 5.0 * (tD1 + 2.0 * tI1 + 4.0 * tD2 + 8.0 * tI2)
+        ).astype(jnp.int8)
 
         # end capture at each lane's k_end: score/state of band cell 0
         is_end = k_new == kend  # (1, BT)
@@ -195,7 +215,7 @@ def _viterbi_kernel(
             s_end = jnp.where(take, jnp.float32(s), s_end)
         score = jnp.where(is_end, v_end, score)
         fstate = jnp.where(is_end, s_end, fstate)
-        return new, score, fstate, p0, p1
+        return new, score, fstate, p
 
     # init: diagonal 0 state (band cell 0 = lattice origin)
     start = jnp.where(row == 0, np.float32(np.log(1.0 / NUM_STATES)), NEG)
@@ -234,8 +254,8 @@ def _viterbi_kernel(
             @pl.when(sg >= 2)
             def _():
                 pltpu.make_async_copy(
-                    bp_buf.at[pl.ds(bslot * 2 * SEG, 2 * SEG)],
-                    bp_hbm.at[pl.ds((bt * (k_pad + 1) + 1) * 2, 2 * SEG)],
+                    bp_buf.at[pl.ds(bslot * SEG, SEG)],
+                    bp_hbm.at[pl.ds(bt * (k_pad + 1) + 1, SEG)],
                     out_sems.at[bslot],
                 ).wait()
 
@@ -245,11 +265,11 @@ def _viterbi_kernel(
                 k0 = c * CHUNK + kl
                 a = [vA[st] for st in range(NUM_STATES)]
                 b = [vB[st] for st in range(NUM_STATES)]
-                nb, sc, fs, p0b, p1b = diag_step(
+                nb, sc, fs, pb = diag_step(
                     k0 + 1, bufA[t], a, b, score_ref[:, :],
                     fstate_ref[:, :],
                 )
-                na, sc, fs, p0a, p1a = diag_step(
+                na, sc, fs, pa = diag_step(
                     k0 + 2, bufA[t + 1], nb, a, sc, fs
                 )
                 for st in range(NUM_STATES):
@@ -262,27 +282,23 @@ def _viterbi_kernel(
                 # slot predicates — traced int8 stores miscompile, see
                 # the realign kernel's dirs_buf note)
                 @pl.when(bslot == 0)
-                def _s0(p0b=p0b, p1b=p1b, p0a=p0a, p1a=p1a, ip=ip):
-                    bp_buf[4 * ip] = p0b
-                    bp_buf[4 * ip + 1] = p1b
-                    bp_buf[4 * ip + 2] = p0a
-                    bp_buf[4 * ip + 3] = p1a
+                def _s0(pb=pb, pa=pa, ip=ip):
+                    bp_buf[2 * ip] = pb
+                    bp_buf[2 * ip + 1] = pa
 
                 @pl.when(bslot == 1)
-                def _s1(p0b=p0b, p1b=p1b, p0a=p0a, p1a=p1a, ip=ip):
-                    bp_buf[2 * SEG + 4 * ip] = p0b
-                    bp_buf[2 * SEG + 4 * ip + 1] = p1b
-                    bp_buf[2 * SEG + 4 * ip + 2] = p0a
-                    bp_buf[2 * SEG + 4 * ip + 3] = p1a
+                def _s1(pb=pb, pa=pa, ip=ip):
+                    bp_buf[SEG + 2 * ip] = pb
+                    bp_buf[SEG + 2 * ip + 1] = pa
 
                 return 0
 
             lax.fori_loop(0, SEG // 2, pair_body, 0)
 
-            base_row = (bt * (k_pad + 1) + 1 + sg * SEG) * 2
+            base_row = bt * (k_pad + 1) + 1 + sg * SEG
             pltpu.make_async_copy(
-                bp_buf.at[pl.ds(bslot * 2 * SEG, 2 * SEG)],
-                bp_hbm.at[pl.ds(base_row, 2 * SEG)],
+                bp_buf.at[pl.ds(bslot * SEG, SEG)],
+                bp_hbm.at[pl.ds(base_row, SEG)],
                 out_sems.at[bslot],
             ).start()
             return 0
@@ -295,8 +311,8 @@ def _viterbi_kernel(
     total_segs = k_pad // SEG
     for bslot in range(min(2, total_segs)):
         pltpu.make_async_copy(
-            bp_buf.at[pl.ds(bslot * 2 * SEG, 2 * SEG)],
-            bp_hbm.at[pl.ds((bt * (k_pad + 1) + 1) * 2, 2 * SEG)],
+            bp_buf.at[pl.ds(bslot * SEG, SEG)],
+            bp_hbm.at[pl.ds(bt * (k_pad + 1) + 1, SEG)],
             out_sems.at[bslot],
         ).wait()
 
@@ -307,7 +323,14 @@ def _log_tables(params: KernelParams):
     tf, emf, egf = _param_scalars(params)
     floor = 1e-37
     return (
-        np.log(np.maximum(tf, floor)).astype(np.float32),
+        # structure zeros must be NEG, not log(floor) ~ -85: a floored
+        # "transition" could otherwise win an argmax from a much better
+        # predecessor and put a structurally-impossible state in the
+        # backpointer plane (the single-plane pack assumes gap states
+        # are entered from match or self only)
+        np.where(
+            tf > 0, np.log(np.maximum(tf, floor)), NEG
+        ).astype(np.float32),
         np.log(np.maximum(emf, floor)).astype(np.float32),
         np.log(np.maximum(egf, floor)).astype(np.float32),
     )
@@ -345,7 +368,7 @@ def _pallas_viterbi_call(
             pltpu.VMEM((2 * CHUNK, W, BT), jnp.int8),  # bufA
             pltpu.VMEM((5, W, BT), jnp.float32),  # vA
             pltpu.VMEM((5, W, BT), jnp.float32),  # vB
-            pltpu.VMEM((2 * SEG * 2, W, BT), jnp.int8),  # bp_buf
+            pltpu.VMEM((2 * SEG, W, BT), jnp.int8),  # bp_buf
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -353,7 +376,7 @@ def _pallas_viterbi_call(
     out_shapes = [
         jax.ShapeDtypeStruct((NB, 1, BT), jnp.float32),  # score
         jax.ShapeDtypeStruct((NB, 1, BT), jnp.float32),  # fstate
-        jax.ShapeDtypeStruct((NB * (k_pad + 1) * 2, W, BT), jnp.int8),
+        jax.ShapeDtypeStruct((NB * (k_pad + 1), W, BT), jnp.int8),
     ]
     score, fstate, bp = pl.pallas_call(
         kernel,
@@ -369,12 +392,25 @@ def _pallas_viterbi_call(
     return {
         "score": lanes(score)[:, 0],
         "fstate": lanes(fstate)[:, 0].astype(jnp.int32),
-        # native k-major layout (NB, K1, 2, W, BT); the on-device
+        # native k-major layout (NB, K1, W, BT); the on-device
         # traceback consumes it directly — transposing the full plane
         # tensor to per-read bands costs ~seconds of byte-shuffle at
         # production batch sizes
-        "bp_raw": bp.reshape(NB, k_pad + 1, 2, W, BT),
+        "bp_raw": bp.reshape(NB, k_pad + 1, W, BT),
     }
+
+
+def viterbi_structure_ok(params: KernelParams) -> bool:
+    """True when the transition structure admits the single-plane
+    backpointer pack: every gap state is entered only from match or
+    itself (the canonical fiveState structure).  Models outside it
+    must take the XLA Viterbi path."""
+    t = np.asarray(params.t, np.float64)
+    for dest in range(1, NUM_STATES):
+        for src in range(NUM_STATES):
+            if src not in (0, dest) and t[src, dest] > 0:
+                return False
+    return True
 
 
 class PallasViterbiPlan:
@@ -383,6 +419,13 @@ class PallasViterbiPlan:
 
     def __init__(self, batch: BandedBatch | None, params: KernelParams,
                  device=None, prep: dict | None = None):
+        if not viterbi_structure_ok(params):
+            raise ValueError(
+                "model transition structure outside the canonical "
+                "fiveState form (gap states entered from match/self "
+                "only): the packed backpointer plane cannot represent "
+                "it — use the XLA Viterbi path"
+            )
         if prep is None:
             prep = prepare_pallas_realign(batch, params)
         self.device = device
@@ -421,8 +464,8 @@ def pallas_viterbi(
 ) -> dict:
     """Single-pass banded Viterbi on the Pallas kernel.
 
-    Returns {score (B,), fstate (B,), bp (B, K+1, 2, W) int8 planes};
-    decode with viterbi_traceback_batch (on device).
+    Returns {score (B,), fstate (B,), bp_raw (NB, K+1, W, BT) int8
+    packed plane}; decode with viterbi_traceback_batch (on device).
     """
     return PallasViterbiPlan(batch, params).run(interpret)
 
@@ -438,7 +481,7 @@ _OP_TO_CIG = {OP_M: CIG.M, OP_D: CIG.D, OP_I: CIG.I}
 def _viterbi_ops_raw_jit(bp_raw, offs_t, m, n, fstate):
     """Walk the Viterbi path backward over descending diagonals,
     consuming the kernel's native k-major plane layout
-    (NB, K1, 2, W, BT) — no per-read band transpose.
+    (NB, K1, W, BT) — no per-read band transpose.
 
     offs_t (K1, NB, BT) int32, m/n/fstate (NB, BT).  Returns
     ((fi, fj), ops (K1, NB, BT) int8) where column k holds the move
@@ -447,12 +490,12 @@ def _viterbi_ops_raw_jit(bp_raw, offs_t, m, n, fstate):
     """
     from nanopore_tpu.ops.pairhmm import SCAN_UNROLL
 
-    NB, K1, _, W, BT = bp_raw.shape
+    NB, K1, W, BT = bp_raw.shape
     # materialise before the scan (see _traceback_ops_raw_jit): fused
     # per-step transpose+reverse gathers cost ~seconds at B=1024
     bp_t = lax.optimization_barrier(
-        jnp.transpose(bp_raw, (1, 0, 2, 3, 4))[::-1]
-    )  # (K1 desc, NB, 2, W, BT)
+        jnp.transpose(bp_raw, (1, 0, 2, 3))[::-1]
+    )  # (K1 desc, NB, W, BT)
     lanes = jnp.arange(W, dtype=jnp.int32)[None, :, None]
     m = m.astype(jnp.int32)
     n = n.astype(jnp.int32)
@@ -465,17 +508,12 @@ def _viterbi_ops_raw_jit(bp_raw, offs_t, m, n, fstate):
         act = active & ~at_origin
         b = j - off_k
         oh = lanes == b[:, None, :]  # (NB, W, BT)
-        bp32 = bp_k.astype(jnp.int32)
-        p0 = jnp.sum(jnp.where(oh, bp32[:, 0], 0), axis=1)
-        p1 = jnp.sum(jnp.where(oh, bp32[:, 1], 0), axis=1)
-        prev = jnp.where(
-            s == 0, p0 % 5,
-            jnp.where(
-                s == 1, (p0 // 5) % 5,
-                jnp.where(s == 2, p0 // 25,
-                          jnp.where(s == 3, p1 % 5, p1 // 5)),
-            ),
-        )
+        p = jnp.sum(jnp.where(oh, bp_k.astype(jnp.int32), 0), axis=1)
+        # single-plane decode: bM in base-5 digit 0, from-self bits of
+        # the four gap states in the remaining bits (see module doc)
+        bits = p // 5
+        bit_s = (bits >> jnp.maximum(s - 1, 0)) & 1
+        prev = jnp.where(s == 0, p % 5, s * bit_s)
         op = jnp.where(
             s == 0, OP_M, jnp.where((s == 1) | (s == 3), OP_D, OP_I)
         )
@@ -505,7 +543,7 @@ def viterbi_traceback_batch(
     Pinned to ops.viterbi.viterbi_traceback (host walk) by tests; only
     the (K1, NB, BT) op matrix crosses to the host.
     """
-    NB, K1, _, W, BT = bp_raw.shape
+    NB, K1, W, BT = bp_raw.shape
     offsets = np.asarray(offsets)
     m = np.asarray(m)
     n = np.asarray(n)

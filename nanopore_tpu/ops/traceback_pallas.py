@@ -238,13 +238,13 @@ def _mea_tb_call(mn, dirs_raw, d1p, k1_pad, NB, W, interpret=False):
 
 def _vit_tb_kernel(
     mns_ref,  # (4, BT) int32 VMEM block: rows m, n, fstate, o[k1_pad-1]
-    bp_hbm,  # (NB, K1_pad * 2, W, BT) int8 (k-major plane rows)
+    bp_hbm,  # (NB, K1_pad, W, BT) int8 (k-major packed plane rows)
     d1_hbm,  # (NB, K1_pad // 64, 8, BT) int8: band deltas, 8 diagonals
     #          bit-packed per byte (same layout as the MEA walker) —
     #          1 bit per diagonal per lane instead of a 4-byte offset,
     #          the walk integrates o DESCENDING from mns row 3
     ops_hbm,  # (NB, K1_pad // 8, 8, BT) f32 out
-    bufD,  # (2 * CHUNK * 2, W, BT) int8
+    bufD,  # (2 * CHUNK, W, BT) int8
     bufO,  # (2, CHUNK // 64, 8, BT) int8 packed deltas
     bufOut,  # (2, CHUNK // 8, 8, BT) f32
     st,  # (4, 1, BT) f32: i, j, s, running band offset o
@@ -254,9 +254,11 @@ def _vit_tb_kernel(
     k1_pad: int,
     W: int,
 ):
-    """Descending Viterbi walk over the base-5-packed plane rows
-    (semantics of ops.viterbi.viterbi_traceback; op at column k = move
-    INTO diagonal k's path cell)."""
+    """Descending Viterbi walk over the single packed backpointer plane
+    (pairhmm_pallas_viterbi module doc: bM base-5 digit + from-self
+    bits; semantics of ops.viterbi.viterbi_traceback; op at column k =
+    move INTO diagonal k's path cell).  One (W, BT) one-hot contraction
+    per diagonal — the MEA walker's floor — instead of round 4's two."""
     bt = pl.program_id(0)
     n_chunks = k1_pad // CHUNK
     rows_per_chunk = CHUNK // 8
@@ -270,8 +272,8 @@ def _vit_tb_kernel(
     def dmas(c, slot):
         return (
             pltpu.make_async_copy(
-                bp_hbm.at[bt, pl.ds(c * CHUNK * 2, CHUNK * 2)],
-                bufD.at[pl.ds(slot * CHUNK * 2, CHUNK * 2)],
+                bp_hbm.at[bt, pl.ds(c * CHUNK, CHUNK)],
+                bufD.at[pl.ds(slot * CHUNK, CHUNK)],
                 in_sems.at[0, slot],
             ),
             pltpu.make_async_copy(
@@ -332,26 +334,31 @@ def _vit_tb_kernel(
                 o_k = st[3]
                 b_full = zeros_w + (j - o_k)
                 oh = jnp.where(row_f == b_full, 1.0, 0.0)
-                base = slot * CHUNK * 2 + (r * 8 + sub) * 2
-                p0 = jnp.sum(
+                base = slot * CHUNK + (r * 8 + sub)
+                p = jnp.sum(
                     oh * bufD[base].astype(jnp.float32), axis=0,
                     keepdims=True,
                 )
-                p1 = jnp.sum(
-                    oh * bufD[base + 1].astype(jnp.float32), axis=0,
-                    keepdims=True,
-                )
+                # single-plane decode: bits = from-self flags of the 4
+                # gap states; prev = 0 (match) or self
+                bits = jnp.floor(p / 5.0)
+
+                def mod2(x):
+                    return x - 2.0 * jnp.floor(x / 2.0)
+
                 prev = jnp.where(
                     s == 0.0,
-                    mod5(p0),
+                    mod5(p),
                     jnp.where(
                         s == 1.0,
-                        mod5(jnp.floor(p0 / 5.0)),
+                        1.0 * mod2(bits),
                         jnp.where(
                             s == 2.0,
-                            jnp.floor(p0 / 25.0),
+                            2.0 * mod2(jnp.floor(bits / 2.0)),
                             jnp.where(
-                                s == 3.0, mod5(p1), jnp.floor(p1 / 5.0)
+                                s == 3.0,
+                                3.0 * mod2(jnp.floor(bits / 4.0)),
+                                4.0 * jnp.floor(bits / 8.0),
                             ),
                         ),
                     ),
@@ -419,7 +426,7 @@ def _vit_tb_call(mns, bp_rows, d1p, k1_pad, NB, W, interpret=False):
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((2 * CHUNK * 2, W, BT), jnp.int8),
+            pltpu.VMEM((2 * CHUNK, W, BT), jnp.int8),
             pltpu.VMEM((2, CHUNK // 64, 8, BT), jnp.int8),
             pltpu.VMEM((2, CHUNK // 8, 8, BT), jnp.float32),
             pltpu.VMEM((4, 1, BT), jnp.float32),
@@ -526,8 +533,8 @@ def viterbi_traceback_ops_pallas(
     bp_raw, offsets, m, n, fstate, interpret: bool = False
 ) -> np.ndarray:
     """(B, K1) int8 op codes from the raw Viterbi plane layout."""
-    NB, K1, P2, W, BT_ = bp_raw.shape
-    assert P2 == 2 and BT_ == BT
+    NB, K1, W, BT_ = bp_raw.shape
+    assert BT_ == BT
     offsets = np.asarray(offsets)
     m = np.asarray(m)
     n = np.asarray(n)
@@ -548,9 +555,9 @@ def viterbi_traceback_ops_pallas(
 
     import jax.numpy as jnp_
 
-    bp_rows = jnp_.asarray(bp_raw).reshape(NB, K1 * 2, W, BT)
+    bp_rows = jnp_.asarray(bp_raw)
     if k1_pad != K1:
-        pad = jnp_.zeros((NB, (k1_pad - K1) * 2, W, BT), jnp_.int8)
+        pad = jnp_.zeros((NB, k1_pad - K1, W, BT), jnp_.int8)
         bp_rows = jnp_.concatenate([bp_rows, pad], axis=1)
 
     ops = _unpack_ops2(

@@ -75,12 +75,12 @@ def main():
     bp_raw = out["bp_raw"]
     fstate = np.asarray(out["fstate"])
 
-    NB, K1, _, _, _ = bp_raw.shape
+    NB, K1, _, _ = bp_raw.shape
     k1_pad = -(-K1 // tbp.CHUNK) * tbp.CHUNK
 
     def pad_rows():
-        rows = jnp.asarray(bp_raw).reshape(NB, K1 * 2, W, tbp.BT)
-        pad = jnp.zeros((NB, (k1_pad - K1) * 2, W, tbp.BT), jnp.int8)
+        rows = jnp.asarray(bp_raw)
+        pad = jnp.zeros((NB, k1_pad - K1, W, tbp.BT), jnp.int8)
         r = jnp.concatenate([rows, pad], axis=1)
         r.block_until_ready()
         return r
