@@ -489,17 +489,21 @@ def rle_ops_batch(ops_b: np.ndarray) -> list[list[tuple[int, int]]]:
     lens = np.diff(np.concatenate([starts, [flat.size]]))
     run_ops = flat[starts]
     run_rows = row_id[starts]
-    # runs are row-major: slice each read's run range
-    bounds = np.searchsorted(run_rows, np.arange(B + 1))
+    # runs are row-major: slice each read's run range.  The tuple
+    # build dominates this function (~6x the numpy passes at 300k
+    # runs): map op codes with one vectorised LUT, convert BOTH run
+    # arrays to Python lists in one C pass each, and zip list slices —
+    # never call int() per element
+    lut = np.zeros(max(_OP_TO_CIG) + 1, np.int64)
+    for k, v in _OP_TO_CIG.items():
+        lut[k] = v
+    cig_ops = lut[run_ops].tolist()
+    lens_l = lens.tolist()
+    bounds = np.searchsorted(run_rows, np.arange(B + 1)).tolist()
     out: list[list[tuple[int, int]]] = []
     for b in range(B):
         lo, hi = bounds[b], bounds[b + 1]
-        out.append(
-            [
-                (_OP_TO_CIG[int(o)], int(ln))
-                for o, ln in zip(run_ops[lo:hi], lens[lo:hi])
-            ]
-        )
+        out.append(list(zip(cig_ops[lo:hi], lens_l[lo:hi])))
     return out
 
 

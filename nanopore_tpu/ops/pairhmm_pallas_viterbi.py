@@ -80,7 +80,7 @@ def _viterbi_kernel(
     # outputs
     score_ref,  # (1, BT) f32
     fstate_ref,  # (1, BT) f32 (argmax state at k_end, cast on host)
-    bp_hbm,  # (NB*(K_pad+1), W, BT) int8: ONE packed plane per diagonal
+    bp_hbm,  # (NB*k1_rows, W, BT) int8: ONE packed plane per diagonal
     # scratch
     bufA,  # (2*CHUNK, W, BT) int8
     vA,  # (5, W, BT) f32 even-diagonal state (log)
@@ -90,6 +90,11 @@ def _viterbi_kernel(
     out_sems,  # DMA (2,)
     *,
     k_pad: int,
+    k1_rows: int,  # per-tile bp row stride: k_pad+1 rounded up to the
+    #               walker's 128-diagonal chunk, so the traceback
+    #               consumes bp_raw with NO pad-copy (rows past the
+    #               lattice are never written; the walk is inactive
+    #               there by the i+j == k predicate)
     W: int,
 ):
     bt = pl.program_id(0)
@@ -255,7 +260,7 @@ def _viterbi_kernel(
             def _():
                 pltpu.make_async_copy(
                     bp_buf.at[pl.ds(bslot * SEG, SEG)],
-                    bp_hbm.at[pl.ds(bt * (k_pad + 1) + 1, SEG)],
+                    bp_hbm.at[pl.ds(bt * k1_rows + 1, SEG)],
                     out_sems.at[bslot],
                 ).wait()
 
@@ -295,7 +300,7 @@ def _viterbi_kernel(
 
             lax.fori_loop(0, SEG // 2, pair_body, 0)
 
-            base_row = bt * (k_pad + 1) + 1 + sg * SEG
+            base_row = bt * k1_rows + 1 + sg * SEG
             pltpu.make_async_copy(
                 bp_buf.at[pl.ds(bslot * SEG, SEG)],
                 bp_hbm.at[pl.ds(base_row, SEG)],
@@ -312,7 +317,7 @@ def _viterbi_kernel(
     for bslot in range(min(2, total_segs)):
         pltpu.make_async_copy(
             bp_buf.at[pl.ds(bslot * SEG, SEG)],
-            bp_hbm.at[pl.ds(bt * (k_pad + 1) + 1, SEG)],
+            bp_hbm.at[pl.ds(bt * k1_rows + 1, SEG)],
             out_sems.at[bslot],
         ).wait()
 
@@ -342,7 +347,10 @@ def _log_tables(params: KernelParams):
 def _pallas_viterbi_call(
     ltf, lemf, legf, kend, xyc, k_pad, NB, W, interpret=False
 ):
-    kernel = functools.partial(_viterbi_kernel, k_pad=k_pad, W=W)
+    k1_rows = -(-(k_pad + 1) // 128) * 128
+    kernel = functools.partial(
+        _viterbi_kernel, k_pad=k_pad, k1_rows=k1_rows, W=W
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(NB,),
@@ -376,7 +384,7 @@ def _pallas_viterbi_call(
     out_shapes = [
         jax.ShapeDtypeStruct((NB, 1, BT), jnp.float32),  # score
         jax.ShapeDtypeStruct((NB, 1, BT), jnp.float32),  # fstate
-        jax.ShapeDtypeStruct((NB * (k_pad + 1), W, BT), jnp.int8),
+        jax.ShapeDtypeStruct((NB * k1_rows, W, BT), jnp.int8),
     ]
     score, fstate, bp = pl.pallas_call(
         kernel,
@@ -396,7 +404,7 @@ def _pallas_viterbi_call(
         # traceback consumes it directly — transposing the full plane
         # tensor to per-read bands costs ~seconds of byte-shuffle at
         # production batch sizes
-        "bp_raw": bp.reshape(NB, k_pad + 1, W, BT),
+        "bp_raw": bp.reshape(NB, k1_rows, W, BT),
     }
 
 

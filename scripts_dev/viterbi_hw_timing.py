@@ -88,9 +88,23 @@ def main():
             np.asarray(batch.m), np.asarray(batch.n),
             np.asarray(out["fstate"]),
         )
-        return len(cigs)
+        return cigs
 
-    decode_once()
+    # hardware correctness gate for the single-plane bp encoding
+    # (round 5): every cigar must consume its full read and ref (a
+    # bp/walker miscompile truncates paths), scores finite
+    cigs0 = decode_once()
+    m_np, n_np = np.asarray(batch.m), np.asarray(batch.n)
+    bad = 0
+    for b, cig in enumerate(cigs0):
+        mi = sum(l for op, l in cig if op in (CIG.M, CIG.I))
+        nj = sum(l for op, l in cig if op in (CIG.M, CIG.D))
+        if mi != m_np[b] or nj != n_np[b]:
+            bad += 1
+    print("cigar validity: %d/%d consume full read+ref" % (B - bad, B),
+          flush=True)
+    assert bad == 0, "viterbi walker produced truncated cigars on HW"
+    assert np.isfinite(np.asarray(plan.run()["score"])).all()
     t0 = time.time()
     decode_once()
     d_elapsed = time.time() - t0
