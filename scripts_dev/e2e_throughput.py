@@ -36,15 +36,19 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # k-bin edges for the mixed-length run.  Round-5 tune (VERDICT r4 #8):
 # DP-optimal edges over the workload's measured per-candidate diagonal
-# NEED distribution (window + read, 2048-step buckets) — padding waste
-# 35.7% (r4's 4 hand-picked bins) -> 15.6% at 8 bins; each bin is one
-# compiled kernel shape, so cold-start pays 8 compiles (recorded in the
-# JSON's "cold").  Override with E2E_BINS=csv.
+# NEED distribution (window + read, 2048-step buckets).  Measured on
+# HW (E2E_HW.json mixed_configs): the 8-bin low-waste set
+# (4096,6144,8192,10240,14336,18432,26624,40960) cuts padding waste
+# 35.7% -> 15.6% but costs batch fill on this HOST-BOUND box (188 r/s);
+# the balanced 5-bin default below lands 224.8 r/s warm = 0.98x the
+# same-session uniform run at 23.8% waste and 5 cold compiles.
+# Device-bound production hosts should prefer the 8-bin set.
+# Override with E2E_BINS=csv.
 MIXED_BINS = tuple(
     int(v)
     for v in os.environ.get(
         "E2E_BINS",
-        "4096,6144,8192,10240,14336,18432,26624,40960",
+        "6144,10240,16384,24576,40960",
     ).split(",")
 )
 

@@ -90,9 +90,12 @@ def main():
     def host_prep():
         d1p_l, o_last = tbp._d1_packed_lanes(offsets, NB, B, k1_pad, K1)
         mns = np.zeros((NB, 4, tbp.BT), np.int32)
-        mns[:, 0].reshape(-1)[:B] = m
-        mns[:, 1].reshape(-1)[:B] = n
-        mns[:, 2].reshape(-1)[:B] = fstate
+        # production _lane_rows: building flat then assigning the whole
+        # column — mns[:, i].reshape(-1)[:B] = v writes into a COPY at
+        # NB > 1 (round-4 landmine; this probe measured empty walks)
+        mns[:, 0] = tbp._lane_rows(m, NB, B)
+        mns[:, 1] = tbp._lane_rows(n, NB, B)
+        mns[:, 2] = tbp._lane_rows(fstate, NB, B)
         mns[:, 3] = o_last.reshape(NB, tbp.BT)
         return d1p_l, mns
 

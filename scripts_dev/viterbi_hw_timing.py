@@ -105,9 +105,12 @@ def main():
           flush=True)
     assert bad == 0, "viterbi walker produced truncated cigars on HW"
     assert np.isfinite(np.asarray(plan.run()["score"])).all()
-    t0 = time.time()
-    decode_once()
-    d_elapsed = time.time() - t0
+    d_times = []
+    for _ in range(3):  # single samples caught multi-second tunnel
+        t0 = time.time()  # stalls on this box; best-of-3 like fwd
+        decode_once()
+        d_times.append(time.time() - t0)
+    d_elapsed = min(d_times)
     print(
         "viterbi fwd+traceback: %.4f s/batch = %.2f Gcells/s (%.0f reads/s)"
         % (d_elapsed, cells / d_elapsed / 1e9, B / d_elapsed),
@@ -137,9 +140,12 @@ def main():
         return len(cigs)
 
     mea_decode_once()
-    t0 = time.time()
-    mea_decode_once()
-    m_elapsed = time.time() - t0
+    m_times = []
+    for _ in range(3):
+        t0 = time.time()
+        mea_decode_once()
+        m_times.append(time.time() - t0)
+    m_elapsed = min(m_times)
     print(
         "MEA fwd+bwd+MEA+traceback: %.4f s/batch = %.2f Gcells/s "
         "(%.0f reads/s)"
