@@ -128,7 +128,17 @@ class MarginAlignSnpCaller(Analysis):
         under one model: the --outputAllPosteriorProbs reduction
         (reference :136-155), with the gamma band reduced on device —
         only these small matrices cross to the host."""
-        from nanopore_tpu.align.realign import window_global_pair
+        import os
+
+        from nanopore_tpu.align.realign import (
+            split_window_pair,
+            window_global_pair,
+        )
+        from nanopore_tpu.ops.dispatch import (
+            _PALLAS_BAND_WIDTHS,
+            kernel_choice,
+            pallas_max_k,
+        )
 
         params = make_kernel_params(model)
         out: list = [None] * len(data.records)
@@ -137,8 +147,24 @@ class MarginAlignSnpCaller(Analysis):
         # pure-D runs carry zero posterior aligned-pair mass but cost a
         # DP diagonal per ref base — the --splitMatrixBiggerThanThis
         # analogue, see align.realign.window_global_pair), then bucket
-        # by padded WINDOW shapes
+        # by padded WINDOW shapes.  Over-budget windows anchor-split
+        # like realign (align.realign.split_window_pair): each segment
+        # owns a disjoint ref slice, so segment expectations scatter
+        # independently — ultra-long aligned spans stay on the fused
+        # kernel instead of hitting the gamma-unsafe XLA fallback.
+        if os.environ.get("NANOPORE_TPU_SPLIT_K"):
+            split_budget = int(os.environ["NANOPORE_TPU_SPLIT_K"])
+        elif (
+            kernel_choice() == "pallas"
+            and self.band_width in _PALLAS_BAND_WIDTHS
+        ):
+            split_budget = pallas_max_k()
+        else:
+            split_budget = None
         windows: list = [None] * len(data.records)
+        # unit = (record idx, window-relative ref sj0/sj1 and read
+        # si0/si1, segment guide); single-unit records are the norm
+        units: list = []
         buckets: dict[tuple[int, int], list[int]] = {}
         for idx, rec in enumerate(data.records):
             guide0 = [
@@ -155,9 +181,20 @@ class MarginAlignSnpCaller(Analysis):
             )
             windows[idx] = (j0, j1, guide)
             m = len(rec.query)
+            if split_budget is not None and (j1 - j0) + m > split_budget:
+                y = encode(rec.query)
+                segs = split_window_pair(
+                    data.ref_codes[rec.rname][j0:j1], y, guide,
+                    split_budget,
+                )
+            else:
+                segs = [(0, j1 - j0, 0, m, guide)]
+            for seg in segs:
+                units.append((idx, *seg))
+        for u, (idx, sj0, sj1, si0, si1, sg) in enumerate(units):
             buckets.setdefault(
-                (_next_pow2(j1 - j0), _next_pow2(m)), []
-            ).append(idx)
+                (_next_pow2(sj1 - sj0), _next_pow2(si1 - si0)), []
+            ).append(u)
         def descriptors():
             for (n_pad, m_pad), idxs in buckets.items():
                 for s in range(0, len(idxs), batch_size):
@@ -168,12 +205,13 @@ class MarginAlignSnpCaller(Analysis):
             # prefetched_map worker pool (overlaps earlier batches)
             sub, k_max = desc
             pairs = []
-            for idx in sub:
+            for u in sub:
+                idx, sj0, sj1, si0, si1, sg = units[u]
                 rec = data.records[idx]
-                j0, j1, guide = windows[idx]
-                x = data.ref_codes[rec.rname][j0:j1]
-                y = encode(rec.query)
-                pairs.append((x, y, guide))
+                j0, j1, _ = windows[idx]
+                x = data.ref_codes[rec.rname][j0 + sj0 : j0 + sj1]
+                y = encode(rec.query)[si0:si1]
+                pairs.append((x, y, sg))
             return sub, prepared_from_pairs(
                 # expectations only: the fused in-kernel retire stream
                 # replaces the gamma-band emission + XLA retire scan —
@@ -202,18 +240,20 @@ class MarginAlignSnpCaller(Analysis):
                 threshold=POSTERIOR_THRESHOLD,
                 band_width=self.band_width,
             )
-            for b, idx in enumerate(sub):
+            for b, u in enumerate(sub):
+                idx, sj0, sj1, si0, si1, _ = units[u]
                 rec = data.records[idx]
                 j0, j1, _ = windows[idx]
                 n_full = len(data.ref_codes[rec.rname])
-                if j0 == 0 and j1 == n_full:
+                if j0 == 0 and j1 == n_full and sj1 - sj0 == j1 - j0:
                     out[idx] = exps[b]
-                else:
-                    # scatter the window expectations into full-ref
-                    # coordinates (the trimmed flanks carry none)
-                    e = np.zeros((n_full, 4), np.float32)
-                    e[j0:j1] = exps[b]
-                    out[idx] = e
+                    continue
+                # scatter the segment's expectations into full-ref
+                # coordinates (the trimmed flanks carry none; split
+                # segments own disjoint ref slices)
+                if out[idx] is None:
+                    out[idx] = np.zeros((n_full, 4), np.float32)
+                out[idx][j0 + sj0 : j0 + sj1] = exps[b]
         return out
 
     # ------------------------------------------------------------------ #

@@ -124,3 +124,35 @@ class TestMarginAlignSnpCaller(object):
         assert int(node.attrib["totalHeldOut"]) == snp_experiment["n_mut"]
         assert float(node.attrib["actualCoverage"]) > 1.0
         assert len(node.attrib["recallByProbability"].split()) == 101
+
+
+class TestAnchorSplitPosteriors:
+    def test_split_matches_unsplit(self, snp_experiment, monkeypatch,
+                                   tmp_path):
+        """Over-budget windows anchor-split; segment posterior
+        expectations scatter into the same full-ref matrices as the
+        unsplit run (cut cells may move a little posterior mass across
+        the anchor — bounded below)."""
+        from nanopore_tpu.align.model import PairHmmModel
+        from nanopore_tpu.analyses.common import ExperimentData
+
+        data = ExperimentData(
+            snp_experiment["fq"], snp_experiment["fa"],
+            snp_experiment["sam"],
+        )
+        analysis = MarginAlignSnpCaller(
+            snp_experiment["fq"], "2d", snp_experiment["fa"],
+            snp_experiment["sam"], str(tmp_path),
+        )
+        model = PairHmmModel.default()
+        plain = analysis._posteriors_for_hmm(data, model)
+        monkeypatch.setenv("NANOPORE_TPU_SPLIT_K", "700")
+        split = analysis._posteriors_for_hmm(data, model)
+        assert len(plain) == len(split)
+        for a, b in zip(plain, split):
+            assert a.shape == b.shape
+            diff = np.abs(a - b)
+            # total expectation mass agrees and large deviations are
+            # confined to a handful of cut-adjacent positions
+            assert abs(a.sum() - b.sum()) < 0.05 * max(a.sum(), 1.0)
+            assert (diff.max(axis=1) > 0.05).sum() <= 10
