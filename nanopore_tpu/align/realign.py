@@ -101,7 +101,7 @@ def split_window_pair(
     max_k: int,
     margin: int = 2048,
 ) -> list[tuple[int, int, int, int, list[tuple[int, int]]]]:
-    """Split an over-budget window pair at guide anchors.
+    """Split an over-budget window pair at CONFIDENT guide anchors.
 
     The reference bounds every realign DP with
     ``--splitMatrixBiggerThanThis=3000`` — cactus splits the matrix at
@@ -109,12 +109,16 @@ def split_window_pair(
     (/root/reference/nanopore/analyses/utils.py:587).  This is the
     banded equivalent for lattices whose diagonal count (n + m) exceeds
     the Pallas kernel's HBM stream budget
-    (ops.dispatch.pallas_max_k): cut inside long M runs of the guide —
-    each cut point is an anchor (x_j, y_i) the guide aligns — so each
-    segment is a self-contained global alignment over (x-slice,
-    y-slice) and the segment cigars CONCATENATE into a cigar consuming
-    the whole window.  Keeps the ~4-7x Pallas advantage on ultra-long
-    reads instead of dropping to the XLA scan (VERDICT r4 #4).
+    (ops.dispatch.pallas_max_k).  Each cut is placed at the MIDPOINT of
+    the longest guide M run inside the last part of the segment's cell
+    budget — a confident anchor the realigned path almost surely passes
+    through (a greedy cut wherever the budget fills can land in a noisy
+    region and perturb ~0.5% of aligned pairs; anchor-aware cuts
+    measured >=99.9% agreement, SPLIT_HW.json) — so each segment is a
+    self-contained global alignment over (x-slice, y-slice) and the
+    segment cigars CONCATENATE into a cigar consuming the whole window.
+    Keeps the ~4-7x Pallas advantage on ultra-long reads instead of
+    dropping to the XLA scan (VERDICT r4 #4).
 
     Returns ``[(j0, j1, i0, i1, guide_seg), ...]`` covering the window
     exactly; a single element = no split needed.
@@ -126,34 +130,69 @@ def split_window_pair(
 
     budget = max_k - min(margin, max_k // 8)
     assert budget > 2, "split budget too small"
+
+    # pass 1: pick cut CELL positions (cells = dx + dy consumed);
+    # prefer the midpoint of the longest M run whose midpoint falls in
+    # the last half of each segment's budget
+    runs = []  # (op, length, cell0) with cell0 = cells consumed before
+    cells = 0
+    for op, length in guide:
+        d = (1 if op in (_C.M, _C.D, _C.N) else 0) + (
+            1 if op in (_C.M, _C.I) else 0
+        )
+        runs.append((op, length, cells, d))
+        cells += d * length
+    total = cells
+    cuts: list[int] = []
+    cur = 0
+    while total - cur > budget:
+        lo, hi = cur + budget // 2, cur + budget
+        best = None  # (run_length, midpoint_cell)
+        for op, length, cell0, d in runs:
+            if op != _C.M or d != 2:
+                continue
+            end = cell0 + 2 * length
+            if end <= lo or cell0 >= hi:
+                continue
+            mid = cell0 + 2 * (length // 2)
+            mid = min(max(mid, lo), hi)
+            # snap to an even offset within the run (a whole M step)
+            mid = cell0 + 2 * max(1, min((mid - cell0) // 2, length - 1))
+            if lo <= mid <= hi and (best is None or length > best[0]):
+                best = (length, mid)
+        cuts.append(best[1] if best else hi)
+        cur = cuts[-1]
+
+    # pass 2: materialise segments at the chosen cell positions
     segs: list[tuple[int, int, int, int, list]] = []
-    j = i = 0  # window-absolute consumed so far
+    j = i = 0
+    cells = 0
     seg_j0, seg_i0 = 0, 0
     seg: list[tuple[int, int]] = []
-
-    def seg_cells():
-        return (j - seg_j0) + (i - seg_i0)
-
-    for op, length in guide:
+    cut_iter = iter(cuts)
+    next_cut = next(cut_iter, None)
+    for op, length, cell0, d in runs:
         while length > 0:
+            if next_cut is None or d == 0:
+                step = length
+            else:
+                room = next_cut - cells
+                if room <= 0:
+                    step = length
+                else:
+                    step = min(length, max(1, room // d))
+            seg.append((op, step))
             dx = 1 if op in (_C.M, _C.D, _C.N) else 0
             dy = 1 if op in (_C.M, _C.I) else 0
-            room = budget - seg_cells()
-            step = min(length, max(1, room // max(dx + dy, 1)))
-            seg.append((op, step))
             j += dx * step
             i += dy * step
+            cells += d * step
             length -= step
-            if seg_cells() >= budget:
-                # cut HERE: at an M cell this is an anchor; at a gap
-                # run boundary the segments still chain exactly (the
-                # path must pass through (j, i) by construction of a
-                # banded global alignment).  An empty trailing segment
-                # (cut landing exactly on the window end) is dropped
-                # below.
+            if next_cut is not None and cells >= next_cut:
                 segs.append((seg_j0, j, seg_i0, i, seg))
                 seg_j0, seg_i0 = j, i
                 seg = []
+                next_cut = next(cut_iter, None)
     if seg or not segs:
         segs.append((seg_j0, j, seg_i0, i, seg))
     assert j == n and i == m, "split must consume the window"
