@@ -129,6 +129,12 @@ def split_window_pair(
     from nanopore_tpu.io.sam import CIG as _C
 
     budget = max_k - min(margin, max_k // 8)
+    if max_k >= 4096:
+        # segment k_max is rounded UP in 2048 steps downstream
+        # (ops.dispatch._pairs_k_max); clamp the budget to a 2048
+        # multiple so a rounded segment can never re-exceed max_k and
+        # silently land on the XLA fallback the split exists to avoid
+        budget = min(budget, (max_k // 2048) * 2048)
     assert budget > 2, "split budget too small"
 
     # pass 1: pick cut CELL positions (cells = dx + dy consumed);
@@ -276,8 +282,6 @@ def realign_records(
     # guide anchors (split_window_pair) so ultra-long reads stay on
     # the fast kernel instead of the XLA fallback; their segment
     # cigars concatenate exactly.
-    import os
-
     from nanopore_tpu.ops.dispatch import pallas_max_k
 
     if rescore:
@@ -294,6 +298,15 @@ def realign_records(
     else:
         split_budget = None
     ref_codes = {name: encode(seq) for name, seq in ref_seqs.items()}
+    # encoded reads, one encode per RECORD (split segments share it)
+    enc_cache: dict[int, np.ndarray] = {}
+
+    def enc_read(idx: int) -> np.ndarray:
+        a = enc_cache.get(idx)
+        if a is None:
+            a = enc_cache[idx] = encode(records[idx].seq)
+        return a
+
     windows: list[tuple[int, int, list]] = []
     # unit = (record idx, part idx, ref j0/j1 and read i0/i1 WINDOW-
     # relative, segment guide); single-part units are the common case
@@ -307,7 +320,7 @@ def realign_records(
         windows.append((j0, j1, guide))
         m = len(rec.seq)
         if split_budget is not None and (j1 - j0) + m > split_budget:
-            y = encode(rec.seq)
+            y = enc_read(idx)
             segs = split_window_pair(
                 ref_codes[rec.rname][j0:j1], y, guide, split_budget
             )
@@ -351,7 +364,7 @@ def realign_records(
             pairs.append(
                 (
                     ref_codes[rec.rname][j0 + sj0 : j0 + sj1],
-                    encode(rec.seq)[si0:si1],
+                    enc_read(idx)[si0:si1],
                     sg,
                 )
             )

@@ -162,6 +162,17 @@ class MarginAlignSnpCaller(Analysis):
         else:
             split_budget = None
         windows: list = [None] * len(data.records)
+        # encoded queries, one encode per RECORD (a split read's
+        # segments share it; re-encoding the full query per segment
+        # repeated O(m) host work P times on ultra-long reads)
+        enc_cache: dict[int, np.ndarray] = {}
+
+        def enc_query(idx: int) -> np.ndarray:
+            a = enc_cache.get(idx)
+            if a is None:
+                a = enc_cache[idx] = encode(data.records[idx].query)
+            return a
+
         # unit = (record idx, window-relative ref sj0/sj1 and read
         # si0/si1, segment guide); single-unit records are the norm
         units: list = []
@@ -182,7 +193,7 @@ class MarginAlignSnpCaller(Analysis):
             windows[idx] = (j0, j1, guide)
             m = len(rec.query)
             if split_budget is not None and (j1 - j0) + m > split_budget:
-                y = encode(rec.query)
+                y = enc_query(idx)
                 segs = split_window_pair(
                     data.ref_codes[rec.rname][j0:j1], y, guide,
                     split_budget,
@@ -210,7 +221,7 @@ class MarginAlignSnpCaller(Analysis):
                 rec = data.records[idx]
                 j0, j1, _ = windows[idx]
                 x = data.ref_codes[rec.rname][j0 + sj0 : j0 + sj1]
-                y = encode(rec.query)[si0:si1]
+                y = enc_query(idx)[si0:si1]
                 pairs.append((x, y, sg))
             return sub, prepared_from_pairs(
                 # expectations only: the fused in-kernel retire stream

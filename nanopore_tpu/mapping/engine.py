@@ -41,7 +41,7 @@ class StageStats:
     past wall time; ``wall`` is the map_fastq wall clock).  Cost: two
     perf_counter calls per stage call — noise against the
     milliseconds-per-batch stages being measured.  Snapshot with
-    ``dict(engine.stage_stats)``.
+    ``engine.stage_stats.snapshot()``.
     """
 
     def __init__(self):

@@ -238,6 +238,17 @@ def prepared_from_pairs(
     use_pallas = (
         kernel_choice() == "pallas" and band_width in _PALLAS_BAND_WIDTHS
     )
+    if use_pallas and prepared_cls is PreparedViterbi:
+        # the packed single-plane backpointer encoding only represents
+        # the canonical fiveState transition structure; other models
+        # must take the XLA Viterbi path.  Checked HERE (not just in
+        # PallasViterbiPlan, which raises) so the stream-pack fast path
+        # degrades to the BandedBatch fallback instead of crashing.
+        from nanopore_tpu.ops.pairhmm_pallas_viterbi import (
+            viterbi_structure_ok,
+        )
+
+        use_pallas = viterbi_structure_ok(params)
     if use_pallas and k_max > pallas_max_k():
         # the fused kernel's HBM side (boundary checkpoints, dirs,
         # retire rows) scales linearly with the diagonal count — a

@@ -408,17 +408,33 @@ def _pallas_viterbi_call(
     }
 
 
+# memoized per transition table: the answer is a property of the model,
+# and np.asarray on a remote device array is a blocking ~23 ms pull —
+# without the cache every prepared batch paid it twice.  Entries hold a
+# strong ref to the table so its id cannot be recycled; the cache is
+# bounded (mapping runs use a handful of models).
+_STRUCTURE_OK_CACHE: dict[int, tuple[object, bool]] = {}
+
+
 def viterbi_structure_ok(params: KernelParams) -> bool:
     """True when the transition structure admits the single-plane
     backpointer pack: every gap state is entered only from match or
     itself (the canonical fiveState structure).  Models outside it
     must take the XLA Viterbi path."""
+    key = id(params.t)
+    hit = _STRUCTURE_OK_CACHE.get(key)
+    if hit is not None and hit[0] is params.t:
+        return hit[1]
     t = np.asarray(params.t, np.float64)
+    ok = True
     for dest in range(1, NUM_STATES):
         for src in range(NUM_STATES):
             if src not in (0, dest) and t[src, dest] > 0:
-                return False
-    return True
+                ok = False
+    if len(_STRUCTURE_OK_CACHE) >= 64:
+        _STRUCTURE_OK_CACHE.clear()
+    _STRUCTURE_OK_CACHE[key] = (params.t, ok)
+    return ok
 
 
 class PallasViterbiPlan:

@@ -199,5 +199,15 @@ def flank_corridor(x, t, eg, entry):
     trans = np.zeros(25, np.float64)
     emis = np.zeros(80, np.float64)
     logz = np.zeros(1, np.float64)
-    lib.seedchain_flank_corridor(x, len(x), t, eg, entry, trans, emis, logz)
+    status = lib.seedchain_flank_corridor(
+        x, len(x), t, eg, entry, trans, emis, logz
+    )
+    if status != 0:
+        # corridor mass underflowed to exact zero (e.g. a zero
+        # gap-emission probability for a base present in the flank):
+        # the kernel's partial counts and -1e300 sentinel are not a
+        # result.  Match the NumPy reference's contract (-inf loglik,
+        # zero counts) so callers see the same degenerate-model signal
+        # on both paths.
+        return np.zeros((5, 5)), np.zeros((5, 16)), float("-inf")
     return trans.reshape(5, 5), emis.reshape(5, 16), float(logz[0])

@@ -125,16 +125,18 @@ def combined_plots(
             if len(parts) > 1:
                 data[parts[0]] = np.array([float(v) for v in parts[1:]])
 
-    def series(key) -> np.ndarray:
-        if isinstance(key, tuple):
-            return sum(data[k] for k in key)
-        return data[key]
-
     # 2-sigma inliers on EVERY series jointly, as the R script's
     # intersected inlier index (combined_plots.R:25-31)
     all_keys = ["length", "mismatches", "identity", "deletions",
                 "insertions"]
     nmin = min(len(data[k]) for k in all_keys)
+
+    def series(key) -> np.ndarray:
+        # trim each row to the common length BEFORE summing: rows of a
+        # hand-edited distributions file can disagree in value count
+        if isinstance(key, tuple):
+            return sum(data[k][:nmin] for k in key)
+        return data[key][:nmin]
     mask = np.ones(nmin, bool)
     for k in all_keys:
         v = data[k][:nmin]

@@ -119,6 +119,28 @@ class TestAnchorSplitRealign:
             j, i = sj1, si1
         assert j == n and i == len(y)
 
+    def test_split_budget_survives_k_rounding(self):
+        """Segment diagonal need, rounded UP in the dispatch layer's
+        2048 steps, must still fit max_k — otherwise the split batch
+        silently lands back on the XLA fallback it exists to avoid."""
+        import numpy as np
+
+        from nanopore_tpu.align.realign import split_window_pair
+        from nanopore_tpu.io.sam import CIG
+
+        rng = np.random.default_rng(1)
+        n = 40000
+        x = rng.integers(0, 4, n).astype(np.int8)
+        y = x[50:39950].copy()
+        guide = [(CIG.D, 50), (CIG.M, 39900), (CIG.D, 50)]
+        for max_k in (10000, 12288, 16384):
+            segs = split_window_pair(x, y, guide, max_k=max_k)
+            assert len(segs) > 1
+            for sj0, sj1, si0, si1, _sg in segs:
+                need = (sj1 - sj0) + (si1 - si0)
+                rounded = -(-need // 2048) * 2048
+                assert rounded <= max_k, (max_k, need, rounded)
+
     def test_split_realign_matches_unsplit(self, monkeypatch, tmp_path):
         """Split realign produces the same cigars as the unsplit run
         (cuts land on anchors both lattices' paths pass through)."""

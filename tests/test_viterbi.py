@@ -139,3 +139,59 @@ class TestViterbiMapper:
             spec = MAPPER_REGISTRY[name]
             assert spec.config.decode == "viterbi"
             assert spec.base_name == "Viterbi"
+
+
+class TestStructureGuard:
+    """Non-canonical transition structures must route to the XLA path
+    (the single-plane backpointer pack cannot represent them) instead
+    of raising inside PallasViterbiPlan — dispatch-level guard."""
+
+    def _noncanonical(self, params):
+        import jax.numpy as jnp
+
+        t = np.asarray(params.t, np.float64).copy()
+        # gap state 2 entered from gap state 1: outside the canonical
+        # fiveState structure (gap states entered from match/self only)
+        t[1, 2] = 0.05
+        t[1] /= t[1].sum()
+        return params._replace(t=jnp.asarray(t, jnp.float32))
+
+    def test_structure_ok_and_memoized(self, params):
+        from nanopore_tpu.ops.pairhmm_pallas_viterbi import (
+            _STRUCTURE_OK_CACHE,
+            viterbi_structure_ok,
+        )
+
+        assert viterbi_structure_ok(params) is True
+        bad = self._noncanonical(params)
+        assert viterbi_structure_ok(bad) is False
+        # memoized: the table object is cached with its verdict
+        assert _STRUCTURE_OK_CACHE[id(params.t)][1] is True
+        assert _STRUCTURE_OK_CACHE[id(bad.t)][1] is False
+        assert viterbi_structure_ok(bad) is False
+
+    def test_dispatch_falls_back_to_xla(self, model, params, monkeypatch):
+        """prepared_from_pairs(prepared_cls=PreparedViterbi) with a
+        forced-pallas choice and a non-canonical model must degrade to
+        the XLA BandedBatch path and decode, not crash."""
+        from nanopore_tpu.ops.dispatch import (
+            PreparedViterbi,
+            prepared_from_pairs,
+        )
+
+        monkeypatch.setenv("NANOPORE_TPU_KERNEL", "pallas")
+        bad = self._noncanonical(params)
+        rng = np.random.default_rng(11)
+        pairs = []
+        for _ in range(2):
+            x, y = simulate_pair(rng, model, length=40)
+            pairs.append((x, y, diagonal_guide(len(y), len(x))))
+        prep = prepared_from_pairs(
+            {}, pairs, bad, band_width=64, prepared_cls=PreparedViterbi
+        )
+        assert prep._plan is None  # XLA fallback, not a Pallas plan
+        scores, cigars = prep.decode()
+        assert len(cigars) == len(pairs)
+        for (x, y, _), cigar in zip(pairs, cigars):
+            _cigar_len_check(cigar, len(y), len(x))
+        assert np.all(np.isfinite(np.asarray(scores)))
