@@ -24,10 +24,23 @@ def _setup_logging(level: str) -> None:
 
 def _setup_compilation_cache() -> None:
     """Persist XLA compilations — the remote TPU backend takes minutes
-    per banded-scan graph, once per shape."""
+    per banded-scan graph, once per shape.
+
+    TPU-class backends only: CPU compiles of these graphs take seconds,
+    and persisting them mixes host-specific CPU executables into the
+    committed TPU compile cache — a stale or truncated CPU entry
+    segfaults ``backend.deserialize_executable`` on a later read (seen
+    in CI: the CLI tests enabled the cache in-process and a later
+    kernel test crashed reading a CPU entry)."""
     import os
 
     import jax
+
+    try:
+        if jax.default_backend() == "cpu":
+            return
+    except Exception:
+        return
 
     cache_dir = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
