@@ -33,15 +33,21 @@ def main() -> int:
     import jax
 
     # persistent compilation cache: the banded-scan graphs take minutes
-    # to compile on the remote TPU runtime; cache them across runs
+    # to compile on the remote TPU runtime; cache them across runs.
+    # TPU-class backends only — persisted CPU executables are host-
+    # specific dead weight and a stale one segfaults deserialization
+    # (see cli._setup_compilation_cache)
     cache_dir = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".jax_cache"),
     )
     try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        if jax.default_backend() != "cpu":
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
     except Exception:
         pass
 
@@ -180,7 +186,15 @@ def main() -> int:
     # pack/upload, kernel, traceback; scripts_dev/viterbi_hw_timing.py
     # -> VITERBI_HW.json)
     here = os.path.dirname(os.path.abspath(__file__))
-    for key, fname in (("e2e", "E2E_HW.json"), ("viterbi", "VITERBI_HW.json")):
+    for key, fname in (
+        ("e2e", "E2E_HW.json"),
+        ("viterbi", "VITERBI_HW.json"),
+        # round-5 scale artifacts: anchor-split over-budget lattices
+        # (scripts_dev/split_hw_probe.py) and windowed megabase EM
+        # (scripts_dev/em_window_smoke.py)
+        ("split", "SPLIT_HW.json"),
+        ("em_window", "EM_WINDOW_HW.json"),
+    ):
         path = os.path.join(here, fname)
         if os.path.exists(path):
             with open(path) as fh:
